@@ -1,0 +1,28 @@
+"""Test config: run everything on CPU with 8 virtual devices so the
+data-parallel mesh path is exercised without TPU hardware (SURVEY.md §4).
+
+Note: the harness's sitecustomize imports jax at interpreter start with
+JAX_PLATFORMS=axon (the TPU plugin), so env vars set here are too late —
+``jax.config.update`` still works because no backend has been initialized
+when conftest runs.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,133 @@
+"""Weak-supervision losses.
+
+Reimplements the four loss branches built by the reference trainers:
+
+- masked (incomplete-label) softmax cross-entropy:
+  ShapeNet/ShapeNet_DGCNN_trainer.py:88-89 — ``sum(Mask*CE)/sum(Mask)``.
+- Siamese augmentation-consistency on interleaved pairs:
+  ShapeNet_DGCNN_trainer.py:123-124 — ``mean(sum((P[0::2]-P[1::2])^2, -1))``.
+- inexact / MIL category supervision:
+  ShapeNet_DGCNN_trainer.py:127-130 — sigmoid CE on per-class max logits.
+- spatial(-color) smoothness kNN-Laplacian on the softmax output:
+  Util/SmoothConstraint.py:130-167 (Loss_SpatialColorSmooth_add_SelfContain).
+
+TPU notes: the smoothness loss needs only top-k *values* of the negative
+distance (the reference gathers exp(-D/gamma) at the top-k indices, which is
+identical to exp(topk(-D)/gamma)) plus one neighbor gather of Z, so the dense
+B x N x N matrix never has to be re-gathered; XLA fuses exp into the top-k
+consumer.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+import weaksuppointcloudseg_tpu.ops.neighbors as knn_ops
+
+
+def masked_softmax_ce(logits: jax.Array, labels_onehot: jax.Array,
+                      mask: jax.Array) -> jax.Array:
+    """sum(mask * CE) / sum(mask); CE over the last axis.
+
+    Args:
+      logits: [B, N, K].
+      labels_onehot: [B, N, K] (float or int one-hot).
+      mask: [B, N] float (1 = labelled point).
+    """
+    log_p = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.sum(labels_onehot.astype(log_p.dtype) * log_p, axis=-1)  # [B, N]
+    denom = jnp.sum(mask)
+    # Zero-mask safety: the reference divides by zero if a batch carries no
+    # labelled point; clamp the denominator (loss is then 0, not NaN).
+    return jnp.sum(mask * ce) / jnp.maximum(denom, 1e-12)
+
+
+def siamese_consistency(prob: jax.Array) -> jax.Array:
+    """Consistency between interleaved Siamese pairs.
+
+    Args:
+      prob: [2B, N, K] softmax outputs with pairs interleaved (even/odd).
+    """
+    d = prob[0::2] - prob[1::2]  # [B, N, K]
+    return jnp.mean(jnp.sum(jnp.square(d), axis=-1))
+
+
+def mil_inexact(logits: jax.Array, labels_onehot: jax.Array) -> jax.Array:
+    """Inexact supervision: sigmoid CE between per-class max logits and the
+    set of classes present in each sample.
+
+    Args:
+      logits: [B, N, K].
+      labels_onehot: [B, N, K].
+    """
+    bag_logits = jnp.max(logits, axis=1)  # [B, K]
+    bag_labels = jnp.max(labels_onehot.astype(jnp.float32), axis=1)  # [B, K]
+    # Numerically stable sigmoid cross-entropy (tf.nn.sigmoid_cross_entropy).
+    z, x = bag_labels, bag_logits
+    loss = jnp.maximum(x, 0.0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    return jnp.mean(loss)
+
+
+def smooth_knn_laplacian(
+    prob: jax.Array,
+    x: jax.Array,
+    *,
+    gamma: float = 1e-1,
+    k: int = 10,
+    channels: Optional[Tuple[int, int]] = None,
+) -> jax.Array:
+    """Spatial(-color) smoothness on the softmax output.
+
+    loss = mean_{b,n,j} exp(-d_{n,j}/gamma) * mean_K (P_n - P_{nbr j})^2
+
+    with d the squared distance on ``x`` (ShapeNet: xyz; S3DIS: xyzrgb cols
+    0:6 — pass ``channels=(0, 6)``) and neighbors the k nearest (self
+    included, weight exp(0)=1).
+    """
+    if channels is not None:
+        x = x[..., channels[0]:channels[1]]
+    d = knn_ops.pairwise_sqdist(x)
+    d = jnp.maximum(d, 0.0)  # reference clamps negative fp error to 0
+    neg_topk, idx = jax.lax.top_k(-d, k)  # [B, N, k]
+    w = jnp.exp(neg_topk / gamma)
+    p_nbr = knn_ops.gather_neighbors(prob, idx)  # [B, N, k, K]
+    diff2 = jnp.mean(jnp.square(prob[:, :, None, :] - p_nbr), axis=-1)  # [B, N, k]
+    return jnp.mean(w * diff2)
+
+
+def total_weaksup_loss(
+    logits: jax.Array,
+    labels_onehot: jax.Array,
+    mask: jax.Array,
+    x: jax.Array,
+    *,
+    gate: jax.Array,
+    siamese_weight: float = 1.0,
+    smooth_gamma: float = 1e-1,
+    smooth_knn: int = 10,
+    smooth_channels: Optional[Tuple[int, int]] = None,
+):
+    """Full-style loss: seg + gate * (siamese + inexact + smooth).
+
+    Mirrors ShapeNet_DGCNN_trainer.py:96-100 with the rampup gate as a
+    *runtime scalar* (0/1) instead of the frozen graph constant (quirk Q1).
+
+    Returns (total, dict of components).
+    """
+    prob = jax.nn.softmax(logits, axis=-1)
+    loss_seg = masked_softmax_ce(logits, labels_onehot, mask)
+    loss_siam = siamese_weight * siamese_consistency(prob)
+    loss_mil = mil_inexact(logits, labels_onehot)
+    loss_smooth = smooth_knn_laplacian(
+        prob, x, gamma=smooth_gamma, k=smooth_knn, channels=smooth_channels
+    )
+    total = loss_seg + gate * (loss_siam + loss_mil + loss_smooth)
+    return total, {
+        "seg": loss_seg,
+        "siamese": loss_siam,
+        "inexact": loss_mil,
+        "smooth": loss_smooth,
+    }

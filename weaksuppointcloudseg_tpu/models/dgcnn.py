@@ -1,0 +1,182 @@
+"""DGCNN (EdgeConv) segmentation network, TPU-first.
+
+One parameterized implementation covering both reference variants:
+
+- ShapeNet part segmentation (ShapeNet/DGCNN_ShapeNet.py:15-113): k=20,
+  EdgeConv spatial transform branch, 3 EdgeConv stages (64-64 / 64-64 / 64),
+  1024-d global feature, 16-way category-label embedding concatenated, seg
+  head 256/256/128/50 with dropout keep 0.6.
+- S3DIS semantic segmentation (S3DIS/DGCNN_S3DIS.py:24-104): 9-channel input,
+  kNN graph on normalized-XYZ channels 6:9, no transform net / category
+  branch, head 512/256/13 with dropout keep 0.7. The reference's S3DIS head
+  layers do not receive the scheduled bn_decay (DGCNN_S3DIS.py:95-101) and so
+  fall back to a fixed 0.9 (tf_util.py:523) — reproduced via
+  ``head_bn_fixed_decay``.
+
+The graph is recomputed per stage in feature space (dynamic graph). All
+EdgeConv "1x1 convs" are channel matmuls that XLA tiles onto the MXU; the
+distance/top-k/gather ops come from ops/knn.py (Pallas-fused variant
+selectable via ``use_fused_knn``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from weaksuppointcloudseg_tpu.configs import ModelConfig
+from weaksuppointcloudseg_tpu.models import layers
+from weaksuppointcloudseg_tpu.models.transform_net import (
+    init_transform_net,
+    apply_transform_net,
+)
+import weaksuppointcloudseg_tpu.ops.neighbors as knn_ops
+
+
+def _knn_input(x: jax.Array, cfg: ModelConfig) -> jax.Array:
+    if cfg.knn_channels is not None:
+        lo, hi = cfg.knn_channels
+        return x[..., lo:hi]
+    return x
+
+
+def init_dgcnn_seg(key, cfg: ModelConfig) -> Tuple[dict, dict]:
+    """Initialize params + BN state pytrees for the segmentation net."""
+    params, state = {}, {}
+    n_edge_convs = sum(len(s) for s in cfg.edge_channels)
+    n_keys = n_edge_convs + 8
+    keys = list(jax.random.split(key, n_keys))
+
+    knn_c = (cfg.knn_channels[1] - cfg.knn_channels[0]) if cfg.knn_channels else cfg.in_channels
+
+    if cfg.use_transform_net:
+        params["transform_net"], state["transform_net"] = init_transform_net(
+            keys.pop(), in_c=2 * knn_c, K=knn_c
+        )
+
+    # EdgeConv stages. Stage 0 consumes edge features of the raw input
+    # (2 * in_channels); later stages consume edge features of the previous
+    # stage's k-max output.
+    conv_i = 1
+    in_c = cfg.in_channels
+    stage_out = []
+    for s_i, widths in enumerate(cfg.edge_channels):
+        c = 2 * in_c
+        for w in widths:
+            name = f"adj_conv{conv_i}"
+            params[name], state[name] = layers.init_conv(keys.pop(), c, w, bn=True)
+            c = w
+            conv_i += 1
+        in_c = widths[-1]
+        stage_out.append(in_c)
+
+    # Global aggregation conv (adj_conv7 in the reference).
+    params["agg_conv"], state["agg_conv"] = layers.init_conv(
+        keys.pop(), sum(stage_out), cfg.global_channels, bn=True
+    )
+
+    global_c = cfg.global_channels
+    if cfg.num_categories > 0:
+        params["cat_embed"], state["cat_embed"] = layers.init_conv(
+            keys.pop(), cfg.num_categories, cfg.category_embed_channels, bn=True
+        )
+        global_c += cfg.category_embed_channels
+
+    # Segmentation head.
+    c = global_c + sum(stage_out)
+    for h_i, w in enumerate(cfg.head_channels):
+        name = f"seg_conv{h_i + 1}"
+        params[name], state[name] = layers.init_conv(keys.pop(), c, w, bn=True)
+        c = w
+    params["seg_out"], _ = layers.init_conv(keys.pop(), c, cfg.num_classes, bn=False)
+    return params, state
+
+
+def apply_dgcnn_seg(
+    params: dict,
+    state: dict,
+    x: jax.Array,  # [B, N, in_channels]
+    cat_onehot: Optional[jax.Array],  # [B, num_categories] or None
+    *,
+    cfg: ModelConfig,
+    training: bool,
+    bn_decay,
+    rng: Optional[jax.Array] = None,
+    head_bn_fixed_decay: Optional[float] = None,
+) -> Tuple[jax.Array, dict]:
+    """Forward pass. Returns (logits [B, N, num_classes], new BN state)."""
+    new_state = dict(state)
+    kw = dict(training=training, bn_decay=bn_decay, eps=cfg.bn_eps)
+    head_kw = dict(kw)
+    if head_bn_fixed_decay is not None:
+        head_kw["bn_decay"] = head_bn_fixed_decay
+    compute_dtype = jnp.dtype(cfg.compute_dtype)
+    B, N, _ = x.shape
+
+    # --- Spatial transform branch (ShapeNet only) ---
+    if cfg.use_transform_net:
+        g = _knn_input(x, cfg)
+        idx = knn_ops.knn_graph(g, cfg.k)
+        ef = knn_ops.edge_feature(g.astype(compute_dtype), idx)
+        transform, new_state["transform_net"] = apply_transform_net(
+            params["transform_net"], state["transform_net"], ef,
+            K=g.shape[-1], training=training, bn_decay=bn_decay, bn_eps=cfg.bn_eps,
+        )
+        x = jnp.einsum(
+            "bnc,bcd->bnd", x, transform.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+
+    # --- EdgeConv stages (dynamic graph recomputed per stage) ---
+    feat = x.astype(compute_dtype)
+    graph_feat = _knn_input(x, cfg).astype(compute_dtype) if not cfg.use_transform_net else feat
+    conv_i = 1
+    stage_outputs = []
+    for s_i, widths in enumerate(cfg.edge_channels):
+        src = graph_feat if s_i == 0 else stage_outputs[-1]
+        idx = knn_ops.knn_graph(src, cfg.k)
+        h = knn_ops.edge_feature(
+            (feat if s_i == 0 else stage_outputs[-1]), idx
+        )  # [B, N, k, 2C]
+        for w in widths:
+            name = f"adj_conv{conv_i}"
+            h, new_state[name] = layers.apply_conv(params[name], state[name], h, **kw)
+            conv_i += 1
+        stage_outputs.append(jnp.max(h, axis=2))  # k-max -> [B, N, C]
+
+    # --- Global feature ---
+    concat = jnp.concatenate(stage_outputs, axis=-1)  # [B, N, sum(C)]
+    g, new_state["agg_conv"] = layers.apply_conv(
+        params["agg_conv"], state["agg_conv"], concat, **kw
+    )
+    global_feat = jnp.max(g, axis=1)  # [B, global_channels]
+
+    if cfg.num_categories > 0:
+        assert cat_onehot is not None, "model was built with a category branch"
+        cat, new_state["cat_embed"] = layers.apply_conv(
+            params["cat_embed"], state["cat_embed"],
+            cat_onehot.astype(compute_dtype), **kw,
+        )
+        global_feat = jnp.concatenate([global_feat, cat], axis=-1)
+
+    expand = jnp.broadcast_to(
+        global_feat[:, None, :], (B, N, global_feat.shape[-1])
+    )
+    h = jnp.concatenate([expand, concat], axis=-1)
+
+    # --- Segmentation head ---
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    for h_i, w in enumerate(cfg.head_channels):
+        name = f"seg_conv{h_i + 1}"
+        h, new_state[name] = layers.apply_conv(params[name], state[name], h, **head_kw)
+        keep = cfg.head_keep_prob[h_i]
+        if keep is not None:
+            rng, sub = jax.random.split(rng)
+            h = layers.dropout(h, sub, keep, training=training)
+    logits, _ = layers.apply_conv(
+        params["seg_out"], {}, h, training=training, bn_decay=None, relu=False, bn=False
+    )
+    return logits.astype(jnp.float32), new_state

@@ -1,0 +1,107 @@
+"""Functional NN layers: shared-MLP "1x1 conv", batch norm, dropout, FC.
+
+TPU-native equivalents of the reference layer wrappers
+(Networks/dgcnn/utils/tf_util.py):
+
+- ``conv2d`` with a [1,1] kernel (tf_util.py:115-173) is just a matmul over
+  the channel axis — implemented as an einsum so XLA tiles it onto the MXU
+  and fuses bias/BN/ReLU into the epilogue.
+- ``batch_norm_dist_template`` (tf_util.py:502-535): training normalizes with
+  the *batch* moments and updates population stats with
+  ``pop = pop * decay + batch * (1 - decay)``; eval normalizes with the
+  population stats. Here the state is carried functionally (mean/var arrays
+  in a state pytree, new state returned) instead of variable assignment.
+  Under a data-parallel mesh the moments are computed over the *global*
+  batch automatically: the reduction over the sharded batch axis lowers to a
+  cross-replica collective under jit (the cross-replica-BN requirement from
+  SURVEY.md section 2.3).
+- ``dropout`` (tf_util.py:614-635): inverted dropout with keep_prob.
+
+Params and BN stats are fp32; compute may run in bfloat16 (config).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = dict
+State = dict
+
+BN_EPS = 1e-3
+
+
+def xavier_uniform(key, in_c: int, out_c: int, dtype=jnp.float32) -> jax.Array:
+    """Glorot-uniform matching tf.contrib.layers.xavier_initializer for a
+    [1,1,in,out] conv kernel (fan_in=in_c, fan_out=out_c)."""
+    limit = jnp.sqrt(6.0 / (in_c + out_c))
+    return jax.random.uniform(key, (in_c, out_c), dtype, -limit, limit)
+
+
+def init_conv(key, in_c: int, out_c: int, *, bn: bool = True) -> Tuple[Params, State]:
+    """Shared-MLP conv layer params (+ BN population stats if bn)."""
+    params = {
+        "w": xavier_uniform(key, in_c, out_c),
+        "b": jnp.zeros((out_c,), jnp.float32),
+    }
+    if bn:
+        params["beta"] = jnp.zeros((out_c,), jnp.float32)
+        params["gamma"] = jnp.ones((out_c,), jnp.float32)
+        state = {"mean": jnp.zeros((out_c,), jnp.float32),
+                 "var": jnp.ones((out_c,), jnp.float32)}
+    else:
+        state = {}
+    return params, state
+
+
+def _batch_norm(x, params, state, *, training: bool, decay, eps: float = BN_EPS):
+    """Reference-semantics BN over all axes but the last. Returns (y, state)."""
+    if training:
+        x32 = x.astype(jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x32, axis=axes)
+        # tf.nn.moments uses the biased variance.
+        var = jnp.mean(jnp.square(x32 - mean.reshape((1,) * (x.ndim - 1) + (-1,))), axis=axes)
+        new_state = {
+            "mean": state["mean"] * decay + mean * (1.0 - decay),
+            "var": state["var"] * decay + var * (1.0 - decay),
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    inv = jax.lax.rsqrt(var + eps) * params["gamma"]
+    y = (x.astype(jnp.float32) - mean) * inv + params["beta"]
+    return y.astype(x.dtype), new_state
+
+
+def apply_conv(
+    params: Params,
+    state: State,
+    x: jax.Array,
+    *,
+    training: bool,
+    bn_decay=None,
+    relu: bool = True,
+    bn: bool = True,
+    eps: float = BN_EPS,
+) -> Tuple[jax.Array, State]:
+    """conv (channel matmul) + bias [+ BN] [+ ReLU]. x: [..., in_c]."""
+    w = params["w"].astype(x.dtype)
+    y = jnp.einsum("...i,io->...o", x, w, preferred_element_type=jnp.float32)
+    y = y + params["b"]
+    y = y.astype(x.dtype) if x.dtype != jnp.float32 else y
+    if bn:
+        y, state = _batch_norm(y, params, state, training=training, decay=bn_decay, eps=eps)
+    if relu:
+        y = jax.nn.relu(y)
+    return y, state
+
+
+def dropout(x: jax.Array, rng, keep_prob: float, *, training: bool) -> jax.Array:
+    """Inverted dropout matching tf.nn.dropout(keep_prob)."""
+    if not training or keep_prob >= 1.0:
+        return x
+    keep = jax.random.bernoulli(rng, keep_prob, x.shape)
+    return jnp.where(keep, x / keep_prob, 0.0).astype(x.dtype)

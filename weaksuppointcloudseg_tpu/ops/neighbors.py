@@ -1,0 +1,94 @@
+"""EdgeConv hot-loop ops: pairwise distance, kNN, neighbor gather.
+
+TPU-native reimplementation of the reference op library
+(Networks/dgcnn/utils/tf_util.py:638-706):
+
+- ``pairwise_distance``: -2 X X^T + |x|^2 + |x|^2^T  -> B x N x N
+- ``knn``: top_k(-adj, k)
+- ``get_edge_feature``: flat gather + concat [x, x_j - x]
+
+Design notes (TPU): the N x N Gram matrix is a single large batched matmul
+that maps straight onto the MXU; top-k over the last axis uses
+``jax.lax.top_k``. ``jnp.take_along_axis`` replaces the reference's
+flatten+gather trick — XLA lowers it to an efficient batched gather and fuses
+the concat into the consumer. A fused Pallas variant that tiles the distance
+matrix through VMEM lives in ``ops/knn_pallas.py``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_sqdist(x: jax.Array) -> jax.Array:
+    """Squared Euclidean pairwise distances.
+
+    Args:
+      x: [B, N, C] points (or features).
+
+    Returns:
+      [B, N, N] squared distances (up to fp error; diagonal ~ 0). Matches
+      tf_util.pairwise_distance semantics (no clamping to >= 0).
+    """
+    # Gram matrix on the MXU; accumulate in fp32 regardless of input dtype.
+    inner = jnp.einsum("bnc,bmc->bnm", x, x, preferred_element_type=jnp.float32)
+    sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1)  # [B, N]
+    return sq[:, :, None] - 2.0 * inner + sq[:, None, :]
+
+
+def knn(sqdist: jax.Array, k: int) -> jax.Array:
+    """Indices of the k nearest neighbors given squared distances.
+
+    Matches tf_util.knn: ``top_k(-adj, k)`` — the self-point (distance 0)
+    is included as the first neighbor.
+
+    Args:
+      sqdist: [B, N, N].
+      k: number of neighbors.
+
+    Returns:
+      int32 [B, N, k] neighbor indices, nearest first.
+    """
+    _, idx = jax.lax.top_k(-sqdist, k)
+    return idx
+
+
+def gather_neighbors(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather per-point neighbor features.
+
+    Args:
+      x: [B, N, C].
+      idx: int [B, N, k] indices into the N axis.
+
+    Returns:
+      [B, N, k, C] neighbor features.
+    """
+    B, N, C = x.shape
+    k = idx.shape[-1]
+    # Batched gather: for each (b, n, j) pick x[b, idx[b, n, j], :].
+    flat_idx = idx.reshape(B, N * k)
+    gathered = jnp.take_along_axis(x, flat_idx[..., None], axis=1)
+    return gathered.reshape(B, N, k, C)
+
+
+def edge_feature(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """EdgeConv edge features: concat([x_i, x_j - x_i]).
+
+    Matches tf_util.get_edge_feature (tf_util.py:674-706).
+
+    Args:
+      x: [B, N, C] point features.
+      idx: int [B, N, k] neighbor indices.
+
+    Returns:
+      [B, N, k, 2C].
+    """
+    neighbors = gather_neighbors(x, idx)  # [B, N, k, C]
+    central = jnp.broadcast_to(x[:, :, None, :], neighbors.shape)
+    return jnp.concatenate([central, neighbors - central], axis=-1)
+
+
+def knn_graph(x: jax.Array, k: int) -> jax.Array:
+    """Pairwise distance + kNN in one call. [B, N, C] -> int32 [B, N, k]."""
+    return knn(pairwise_sqdist(x), k)
