@@ -1,0 +1,17 @@
+from weaksuppointcloudseg_tpu.propagate.laplacian import (
+    product_kernel_weights,
+    laplacian_xyz_rgb,
+)
+from weaksuppointcloudseg_tpu.propagate.label_prop import (
+    entropy_confidence,
+    label_propagation,
+    propagate_batch,
+)
+
+__all__ = [
+    "product_kernel_weights",
+    "laplacian_xyz_rgb",
+    "entropy_confidence",
+    "label_propagation",
+    "propagate_batch",
+]
