@@ -1,0 +1,178 @@
+"""End-to-end training-loop tests on synthetic data (SURVEY.md §4 items 4-5).
+
+Tiny shapes keep CPU compiles fast: 64-point clouds, 2-sample batches.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import pytest
+
+from weaksuppointcloudseg_tpu import configs
+from weaksuppointcloudseg_tpu.data import shapenet, s3dis, sampling
+from weaksuppointcloudseg_tpu.train.loop import ShapeNetTrainer, S3DISTrainer
+
+
+def tiny_shapenet_cfg(style="Plain", batch_size=2):
+    base = configs.shapenet_config()
+    model = dataclasses.replace(
+        base.model, num_points=64, num_classes=12, num_categories=4,
+        k=8, global_channels=128,
+        edge_channels=((16, 16), (16, 16), (16,)),
+        head_channels=(32, 32, 16),
+        head_keep_prob=(0.6, 0.6, None),
+    )
+    train = dataclasses.replace(
+        base.train, batch_size=batch_size, style=style, epochs=2, rampup=1
+    )
+    weaksup = dataclasses.replace(base.weaksup, smooth_knn=4, rampup=1)
+    return dataclasses.replace(base, model=model, train=train, weaksup=weaksup)
+
+
+def tiny_s3dis_cfg(style="Plain", batch_size=2):
+    base = configs.s3dis_config()
+    model = dataclasses.replace(
+        base.model, num_points=64, k=8, global_channels=128,
+        edge_channels=((16, 16), (16, 16), (16,)),
+        head_channels=(32, 16),
+        head_keep_prob=(None, 0.7),
+    )
+    train = dataclasses.replace(
+        base.train, batch_size=batch_size, style=style, epochs=2, rampup=1
+    )
+    weaksup = dataclasses.replace(base.weaksup, smooth_knn=4, rampup=1)
+    return dataclasses.replace(base, model=model, train=train, weaksup=weaksup)
+
+
+@pytest.fixture(scope="module")
+def shapenet_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sn")
+    shapenet.write_synthetic(str(d), num_points=64, train_samples=16,
+                             val_samples=4, test_samples=2)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def s3dis_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("s3")
+    s3dis.write_synthetic(str(d), num_points=64)
+    return str(d)
+
+
+class TestShapeNetTraining:
+    def test_plain_loss_decreases(self, shapenet_dir):
+        cfg = tiny_shapenet_cfg("Plain")
+        ds = shapenet.ShapeNetDataset(shapenet_dir)
+        pts_idx = sampling.generate_sample_index(ds.num_samples("train"), 64, 0.2)
+        tr = ShapeNetTrainer(cfg, ds, pts_idx, seed=0)
+        first = tr.train_epoch()
+        for _ in range(5):
+            last = tr.train_epoch()
+        assert last["seg"] < first["seg"]
+        assert tr.epoch == 6
+
+    def test_full_style_components_and_gate(self, shapenet_dir):
+        cfg = tiny_shapenet_cfg("Full")
+        ds = shapenet.ShapeNetDataset(shapenet_dir)
+        pts_idx = sampling.generate_sample_index(ds.num_samples("train"), 64, 0.2)
+        tr = ShapeNetTrainer(cfg, ds, pts_idx, seed=0)
+        # epoch 0 < rampup=1: gate off -> total == seg
+        m0 = tr.train_epoch()
+        assert m0["total"] == pytest.approx(m0["seg"], rel=1e-5)
+        # epoch 1 >= rampup: gate on, weak components contribute
+        m1 = tr.train_epoch()
+        assert m1["total"] > m1["seg"]
+        for k in ("siamese", "inexact", "smooth"):
+            assert m1[k] >= 0
+
+    def test_eval_and_test(self, shapenet_dir):
+        cfg = tiny_shapenet_cfg("Plain")
+        ds = shapenet.ShapeNetDataset(shapenet_dir)
+        tr = ShapeNetTrainer(cfg, ds, None, seed=0)
+        loss, acc, perdata, pershape = tr.evaluate()
+        assert 0 <= acc <= 1 and 0 <= perdata <= 1
+        assert pershape.shape == (4,)
+        ts = shapenet.ShapeNetTestSet(shapenet_dir)
+        res = tr.test(ts, num_points=96, use_label_prop=True)
+        assert 0 <= res["perdata_miou"] <= 1
+        assert 0 <= res["accuracy"] <= 1
+
+    def test_checkpoint_roundtrip(self, shapenet_dir, tmp_path):
+        cfg = tiny_shapenet_cfg("Plain")
+        ds = shapenet.ShapeNetDataset(shapenet_dir)
+        tr = ShapeNetTrainer(cfg, ds, None, seed=0, ckpt_dir=str(tmp_path))
+        tr.train_epoch()
+        tr.save_checkpoint(metric=0.5)
+        step_before = int(tr.state.step)
+        tr2 = ShapeNetTrainer(cfg, ds, None, seed=7, ckpt_dir=str(tmp_path))
+        tr2.restore_checkpoint(tr.ckpt.best_path())
+        assert int(tr2.state.step) == step_before
+        assert tr2.epoch == tr.epoch
+        p1 = jax.tree_util.tree_leaves(tr.state.params)
+        p2 = jax.tree_util.tree_leaves(tr2.state.params)
+        for a, b in zip(p1, p2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestS3DISTraining:
+    def test_plain_runs_and_learns(self, s3dis_dir):
+        cfg = tiny_s3dis_cfg("Plain")
+        ds = s3dis.S3DISDataset(s3dis_dir)
+        tr = S3DISTrainer(cfg, ds, None, test_area=5, seed=0)
+        first = tr.train_epoch()
+        for _ in range(5):
+            last = tr.train_epoch()
+        assert last["seg"] < first["seg"]
+
+    def test_full_with_one_point_per_class(self, s3dis_dir):
+        cfg = tiny_s3dis_cfg("Full")
+        ds = s3dis.S3DISDataset(s3dis_dir)
+        pts_idx = sampling.generate_one_point_per_class(ds.label)
+        tr = S3DISTrainer(cfg, ds, pts_idx, test_area=5, seed=0)
+        m = tr.train_epoch()
+        assert np.isfinite(m["total"])
+
+    def test_eval_and_room_test(self, s3dis_dir, tmp_path):
+        cfg = tiny_s3dis_cfg("Plain")
+        ds = s3dis.S3DISDataset(s3dis_dir)
+        tr = S3DISTrainer(cfg, ds, None, test_area=5, seed=0)
+        loss, acc, miou, per_class = tr.evaluate()
+        assert per_class.shape == (13,)
+        rooms = s3dis.S3DISTestRooms(s3dis_dir, "area5", num_point=64)
+        res = tr.test(rooms, use_label_prop=True, pred_dir=str(tmp_path / "pred"))
+        assert 0 <= res["miou"] <= 1
+        # .mat room dumps written
+        import os
+        mats = [f for f in os.listdir(tmp_path / "pred") if f.endswith("_pred_gt.mat")]
+        assert len(mats) == 2
+
+
+class TestDataParallel:
+    def test_mesh_training_matches_shapes(self, shapenet_dir):
+        """Full 8-virtual-device data-parallel path compiles and runs."""
+        assert jax.device_count() == 8
+        cfg = tiny_shapenet_cfg("Plain", batch_size=8)
+        ds = shapenet.ShapeNetDataset(shapenet_dir)
+        tr = ShapeNetTrainer(cfg, ds, None, seed=0, num_devices=8)
+        m = tr.train_epoch()
+        assert np.isfinite(m["seg"])
+
+    def test_mesh_full_style_pairs_local(self, shapenet_dir):
+        cfg = tiny_shapenet_cfg("Full", batch_size=8)  # 16 rows over 8 devices
+        ds = shapenet.ShapeNetDataset(shapenet_dir)
+        tr = ShapeNetTrainer(cfg, ds, None, seed=0, num_devices=8)
+        m = tr.train_epoch()
+        assert np.isfinite(m["total"])
+
+    def test_dp_matches_single_device(self, shapenet_dir):
+        """Same data, same seed: 8-device DP metrics == single-device metrics
+        (cross-replica BN + psum grads must reproduce global-batch math)."""
+        cfg = tiny_shapenet_cfg("Plain", batch_size=8)
+        ds = shapenet.ShapeNetDataset(shapenet_dir)
+        tr1 = ShapeNetTrainer(cfg, ds, None, seed=3)
+        tr8 = ShapeNetTrainer(cfg, ds, None, seed=3, num_devices=8)
+        m1 = tr1.train_epoch()
+        m8 = tr8.train_epoch()
+        assert m1["seg"] == pytest.approx(m8["seg"], rel=2e-3)
+        assert m1["acc"] == pytest.approx(m8["acc"], rel=2e-3)

@@ -1,0 +1,100 @@
+"""Shared CLI plumbing: reference-compatible flags + config assembly.
+
+The reference duplicates one argparse block across its four entry points
+(train_ShapeNet.py:24-38, train_S3DIS.py:24-39, test_*.py); the flag names
+and defaults here are kept drop-in identical (-er, -ep, -rp, -bs, -m, -sty,
+-net, -ta, -dt), with TPU-native additions: --DataPath (the reference
+hard-codes ./Dataset/<ds>), --num_devices (data-parallel mesh size), --seed.
+--GPU is accepted for compatibility and ignored (device selection is JAX's).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import datetime
+import os
+from typing import Optional
+
+from weaksuppointcloudseg_tpu import configs
+
+
+def base_parser(dataset: str, *, train: bool) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Take parameters")
+    p.add_argument("--GPU", "-gpu", type=int, default=0,
+                   help="accepted for reference compatibility; ignored on TPU")
+    p.add_argument("--m", "-m", type=float, default=0.1,
+                   help="ratio of points labelled (0.01=1%%, 0.1=10%%, 1=100%%)")
+    p.add_argument("--Network", "-net", type=str, default="DGCNN",
+                   help="[options: DGCNN]")
+    p.add_argument("--DataPath", type=str, default=None,
+                   help=f"dataset root [default: ./Dataset/{dataset}]")
+    p.add_argument("--num_devices", type=int, default=0,
+                   help="data-parallel mesh size (0 = single device)")
+    p.add_argument("--seed", type=int, default=0)
+    if train:
+        p.add_argument("--batchsize", "-bs", type=int,
+                       default=6 if dataset == "ShapeNet" else 3)
+        p.add_argument("--ExpRslt", "-er", type=lambda s: s not in ("0", "False", ""),
+                       default=False, help="export results/checkpoints")
+        p.add_argument("--LearningRate", type=float, default=1e-3)
+        p.add_argument("--Epoch", "-ep", type=int, default=201)
+        p.add_argument("--Rampup", "-rp", type=int, default=101)
+        p.add_argument("--Style", "-sty", type=str, default="Full",
+                       help="[options: Plain, Full]")
+        p.add_argument("--CompatFrozenGate", action="store_true",
+                       help="reproduce the released code's frozen rampup gate "
+                            "(quirk Q1): weak losses never receive gradient")
+    else:
+        p.add_argument("--batchsize", type=int, default=1)
+        p.add_argument("--Style", "-style", type=str, default="Full",
+                       help="[options: Plain, Full]")
+        p.add_argument("--Datetime", "-dt", type=str, default=None,
+                       help="datetime stamp of the trained model to load")
+        p.add_argument("--Checkpoint", type=str, default=None,
+                       help="explicit checkpoint path (overrides --Datetime)")
+    return p
+
+
+def build_config(args, dataset: str) -> configs.ExperimentConfig:
+    make = configs.shapenet_config if dataset == "ShapeNet" else configs.s3dis_config
+    cfg = make()
+    train = dataclasses.replace(
+        cfg.train,
+        batch_size=getattr(args, "batchsize", cfg.train.batch_size),
+        epochs=getattr(args, "Epoch", cfg.train.epochs),
+        rampup=getattr(args, "Rampup", cfg.train.rampup),
+        style=args.Style,
+        label_fraction=args.m,
+        seed=args.seed,
+        num_devices=max(args.num_devices, 1),
+    )
+    schedule = dataclasses.replace(
+        cfg.schedule,
+        base_learning_rate=getattr(args, "LearningRate", cfg.schedule.base_learning_rate),
+    )
+    weaksup = dataclasses.replace(
+        cfg.weaksup,
+        rampup=getattr(args, "Rampup", cfg.weaksup.rampup),
+        compat_frozen_gate=getattr(args, "CompatFrozenGate", False),
+    )
+    return dataclasses.replace(cfg, train=train, schedule=schedule, weaksup=weaksup)
+
+
+def result_base_path(dataset: str, args) -> str:
+    """Results/<ds>/<Net>_sty-<Style>_m-<m>_<datetime> (train_ShapeNet.py:59-62)."""
+    dt = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    return os.path.expanduser(
+        f"./Results/{dataset}/{args.Network}_sty-{args.Style}_m-{args.m}_{dt}"
+    )
+
+
+def find_result_dir(dataset: str, args) -> str:
+    """Locate a train run's result dir by its -dt datetime stamp."""
+    root = os.path.expanduser(f"./Results/{dataset}")
+    if args.Datetime is None:
+        raise SystemExit("need --Datetime (or --Checkpoint) to locate the model")
+    matches = [d for d in os.listdir(root) if d.endswith(args.Datetime)]
+    if len(matches) != 1:
+        raise SystemExit(f"{len(matches)} result dirs match '{args.Datetime}' in {root}")
+    return os.path.join(root, matches[0])

@@ -61,6 +61,10 @@ class ModelConfig:
     # dropout keep-probability per head layer (None = no dropout after layer)
     head_keep_prob: Tuple[Optional[float], ...] = (0.6, 0.6, None)
     bn_eps: float = 1e-3
+    # The S3DIS head convs don't receive the scheduled bn_decay in the
+    # reference (DGCNN_S3DIS.py:95-101) and fall back to tf_util's fixed 0.9
+    # (tf_util.py:523); None means the scheduled decay applies everywhere.
+    head_bn_fixed_decay: Optional[float] = None
     # compute dtype for matmul-heavy ops (params & BN stats stay fp32)
     compute_dtype: str = "float32"
 
@@ -151,6 +155,7 @@ def s3dis_config(**overrides) -> ExperimentConfig:
         num_categories=0,
         head_channels=(512, 256),
         head_keep_prob=(None, 0.7),
+        head_bn_fixed_decay=0.9,
     )
     weaksup = WeakSupConfig(siamese_weight=10.0, smooth_channels=(0, 6))
     train = TrainConfig(batch_size=3, style="Plain", label_fraction=0.1)

@@ -1,0 +1,395 @@
+"""Epoch-loop trainers for ShapeNet and S3DIS.
+
+High-level drivers mirroring the reference trainer API surface
+(``defineNetwork`` / ``TrainOneEpoch[_Full]`` / ``EvalOneEpoch[_Full]`` /
+``Test`` / ``SaveCheckPoint`` / ``RestoreCheckPoint`` —
+ShapeNet/ShapeNet_DGCNN_trainer.py:19-644, S3DIS/S3DIS_DGCNN_trainer.py) on
+top of the jitted step functions (train/steps.py):
+
+- host side: batch assembly, SampIndex masks, Siamese duplication +
+  augmentation (data/augment.py), one-hot encoding — all vectorized numpy;
+- device side: one compiled step per config; batches sharded over the data
+  mesh (parallel/mesh.py), params replicated;
+- eval: training=False population-stats forward (fixes quirk Q7), category-
+  biased argmax + per-shape IoU (ShapeNet) or global confusion mIoU (S3DIS);
+- test: fixed-size resampling (3000 pts ShapeNet, duplicate-then-slice,
+  quirk Q3 fixed) + probabilistic label propagation for the Full style.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from weaksuppointcloudseg_tpu.configs import ExperimentConfig
+from weaksuppointcloudseg_tpu.data import augment, sampling
+from weaksuppointcloudseg_tpu.data import shapenet as shapenet_data
+from weaksuppointcloudseg_tpu.data import s3dis as s3dis_data
+from weaksuppointcloudseg_tpu.metrics.iou import (
+    eval_iou,
+    category_biased_argmax,
+    ConfusionAccumulator,
+)
+from weaksuppointcloudseg_tpu.parallel import make_mesh, replicate, shard_batch
+from weaksuppointcloudseg_tpu.propagate import propagate_batch
+from weaksuppointcloudseg_tpu.train.state import create_train_state
+from weaksuppointcloudseg_tpu.train.steps import (
+    make_train_step,
+    make_eval_step,
+    make_forward_fn,
+)
+from weaksuppointcloudseg_tpu.utils.checkpoint import CheckpointManager
+from weaksuppointcloudseg_tpu.utils.tools import onehot_encode
+
+
+class _TrainerBase:
+    """Shared state / step / checkpoint plumbing."""
+
+    def __init__(self, cfg: ExperimentConfig, *, seed: int = 0,
+                 ckpt_dir: Optional[str] = None, num_devices: Optional[int] = None):
+        self.cfg = cfg
+        self.style = cfg.train.style
+        self.rampup = cfg.train.rampup
+        self.mesh = make_mesh(num_devices) if (num_devices or 0) > 1 else None
+        key = jax.random.PRNGKey(seed)
+        self.state = create_train_state(key, cfg)
+        if self.mesh is not None:
+            self.state = replicate(self.state, self.mesh)
+        self.train_step = make_train_step(cfg)
+        self.eval_step = make_eval_step(cfg)
+        self.forward = make_forward_fn(cfg)
+        self.np_rng = np.random.default_rng(seed)
+        self.ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None
+        self.epoch = 0
+        self._step_rng = jax.random.PRNGKey(seed + 1)
+
+    # -- helpers ----------------------------------------------------------
+
+    def _next_rng(self):
+        self._step_rng, sub = jax.random.split(self._step_rng)
+        return sub
+
+    def _gate(self, epoch: int) -> np.float32:
+        return np.float32(1.0 if epoch >= self.rampup else 0.0)
+
+    def _put(self, batch: Dict[str, np.ndarray], *, pairs: bool) -> Dict:
+        if self.mesh is None:
+            return batch
+        return shard_batch(batch, self.mesh, pair_interleaved=pairs)
+
+    # -- checkpointing ----------------------------------------------------
+
+    def _ckpt_tree(self):
+        return {
+            "params": self.state.params,
+            "bn_state": self.state.bn_state,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+            "epoch": np.asarray(self.epoch),
+        }
+
+    def save_checkpoint(self, metric: float) -> Optional[str]:
+        if self.ckpt is None:
+            return None
+        return self.ckpt.save(self._ckpt_tree(), self.epoch, metric)
+
+    def restore_checkpoint(self, path: str) -> None:
+        from weaksuppointcloudseg_tpu.utils.checkpoint import restore_checkpoint
+
+        tree = restore_checkpoint(path, self._ckpt_tree())
+        self.state = self.state.replace(
+            params=tree["params"],
+            bn_state=tree["bn_state"],
+            opt_state=tree["opt_state"],
+            step=jax.numpy.asarray(tree["step"]),
+        )
+        self.epoch = int(tree["epoch"])
+        if self.mesh is not None:
+            self.state = replicate(self.state, self.mesh)
+
+
+class ShapeNetTrainer(_TrainerBase):
+    """ShapeNet part-segmentation trainer (ShapeNet_DGCNN_trainer.py)."""
+
+    def __init__(self, cfg: ExperimentConfig, dataset: shapenet_data.ShapeNetDataset,
+                 pts_idx_list=None, **kw):
+        super().__init__(cfg, **kw)
+        self.ds = dataset
+        self.meta = dataset.meta
+        self.pts_idx = pts_idx_list  # [num_train_samples, n_labelled] or None
+        self.num_classes = cfg.model.num_classes
+        self.num_categories = cfg.model.num_categories
+
+    # -- batch assembly ---------------------------------------------------
+
+    def _assemble(self, b: shapenet_data.Batch, *, siamese: bool,
+                  augment_pairs: bool, full_mask: bool) -> Dict[str, np.ndarray]:
+        n = b.data.shape[1]
+        if full_mask or self.pts_idx is None:
+            mask = np.ones((b.data.shape[0], n), np.float32)
+        else:
+            mask = sampling.indices_to_mask(self.pts_idx, b.sample_ids, n)
+        data = b.data
+        valid = np.zeros(b.data.shape[0], np.float32)
+        valid[: b.valid] = 1.0
+        if siamese:
+            aug = augment.shapenet_augment if augment_pairs else None
+            data = augment.make_siamese_batch(data, self.np_rng, aug)
+            mask = augment.interleave_duplicate(mask)
+            seg = augment.interleave_duplicate(b.seg)
+            label = augment.interleave_duplicate(b.label)
+            valid = augment.interleave_duplicate(valid)
+        else:
+            seg, label = b.seg, b.label
+        return {
+            "data": data.astype(np.float32),
+            "seg": seg.astype(np.int32),
+            "seg_onehot": onehot_encode(seg, self.num_classes),
+            "mask": mask,
+            "cat_onehot": onehot_encode(label, self.num_categories),
+            "valid": valid,
+        }
+
+    # -- epochs -----------------------------------------------------------
+
+    def train_epoch(self, epoch: Optional[int] = None) -> Dict[str, float]:
+        """One training epoch; returns averaged metrics."""
+        epoch = self.epoch if epoch is None else epoch
+        siamese = self.style == "Full"
+        gate = self._gate(epoch)
+        augment_pairs = siamese and epoch >= self.rampup
+        totals, count = {}, 0
+        for b in self.ds.batches("train", self.cfg.train.batch_size,
+                                 shuffle=True, drop_last=True, rng=self.np_rng):
+            batch = self._assemble(b, siamese=siamese,
+                                   augment_pairs=augment_pairs, full_mask=False)
+            batch = self._put(batch, pairs=siamese)
+            self.state, metrics = self.train_step(
+                self.state, batch, gate, self._next_rng()
+            )
+            count += b.valid
+            for k, v in metrics.items():
+                totals[k] = totals.get(k, 0.0) + float(v) * b.valid
+        self.epoch = epoch + 1
+        return {k: v / max(count, 1) for k, v in totals.items()}
+
+    def evaluate(self) -> Tuple[float, float, float, np.ndarray]:
+        """Validation pass. Returns (loss, acc, perdata_miou, pershape_miou
+        [num_categories]) matching EvalOneEpoch_Full (:421-507)."""
+        losses, accs, ious = [], [], []
+        shape_cnt = np.zeros(self.num_categories)
+        pershape = np.zeros(self.num_categories)
+        for b in self.ds.batches("val", self.cfg.train.batch_size):
+            batch = self._assemble(b, siamese=False, augment_pairs=False,
+                                   full_mask=True)
+            prob, loss = self.eval_step(self.state, self._put(batch, pairs=False))
+            prob = np.asarray(prob)[: b.valid]
+            losses.append(float(loss))
+            for b_i in range(b.valid):
+                cat = int(b.label[b_i])
+                oids = self.meta.iou_oids(cat)
+                pred = category_biased_argmax(prob[b_i], oids)
+                iou = eval_iou(pred, b.seg[b_i], oids)
+                ious.append(iou)
+                accs.append(float(np.mean(pred == b.seg[b_i])))
+                pershape[cat] = (pershape[cat] * shape_cnt[cat] + iou) / (shape_cnt[cat] + 1)
+                shape_cnt[cat] += 1
+        return (
+            float(np.mean(losses)) if losses else 0.0,
+            float(np.mean(accs)) if accs else 0.0,
+            float(np.mean(ious)) if ious else 0.0,
+            pershape,
+        )
+
+    def test(self, testset: shapenet_data.ShapeNetTestSet, *,
+             use_label_prop: Optional[bool] = None,
+             num_points: int = 3000) -> Dict[str, float]:
+        """Held-out test with fixed-size resampling + optional LP
+        (ShapeNet_DGCNN_trainer.py:511-596)."""
+        if use_label_prop is None:
+            use_label_prop = self.style == "Full"
+        lp = self.cfg.labelprop
+        per_data_iou = []
+        shape_cnt = np.zeros(self.num_categories)
+        pershape = np.zeros(self.num_categories)
+        accs = []
+        eval_fwd = jax.jit(
+            lambda state, x, cat: self.forward(
+                state.params, state.bn_state, x, cat,
+                training=False, bn_decay=None, rng=jax.random.PRNGKey(0),
+            )[0]
+        )
+        for i in range(len(testset)):
+            pts, seg, cat = testset[i]
+            sel = shapenet_data.resample_to_fixed(len(pts), num_points, self.np_rng)
+            x = pts[sel][None]  # [1, num_points, 3]
+            cat_onehot = onehot_encode(np.asarray([cat]), self.num_categories)
+            logits = eval_fwd(self.state, x, cat_onehot)
+            prob = np.asarray(jax.nn.softmax(logits, axis=-1))
+            if use_label_prop:
+                prob = np.asarray(propagate_batch(
+                    x, prob,
+                    alpha=lp.alpha, beta=lp.beta,
+                    xyz_bandwidth=lp.xyz_bandwidth, rgb_bandwidth=lp.rgb_bandwidth,
+                    ridge=lp.ridge, solver=lp.solver, cg_iters=lp.cg_iters,
+                ))
+            # keep only original (unduplicated) points
+            keep = np.arange(min(len(pts), num_points))
+            prob_orig = prob[0][keep]
+            seg_orig = seg[sel][keep]
+            oids = self.meta.iou_oids(cat)
+            pred = category_biased_argmax(prob_orig, oids)
+            iou = eval_iou(pred, seg_orig, oids)
+            per_data_iou.append(iou)
+            accs.append(float(np.mean(pred == seg_orig)))
+            pershape[cat] = (pershape[cat] * shape_cnt[cat] + iou) / (shape_cnt[cat] + 1)
+            shape_cnt[cat] += 1
+        seen = shape_cnt > 0
+        return {
+            "perdata_miou": float(np.mean(per_data_iou)),
+            "pershape_miou": float(np.mean(pershape[seen])) if seen.any() else 0.0,
+            "accuracy": float(np.mean(accs)),
+        }
+
+
+class S3DISTrainer(_TrainerBase):
+    """S3DIS semantic-segmentation trainer (S3DIS_DGCNN_trainer.py)."""
+
+    def __init__(self, cfg: ExperimentConfig, dataset: s3dis_data.S3DISDataset,
+                 pts_idx_list=None, test_area: int = 5, **kw):
+        super().__init__(cfg, **kw)
+        self.ds = dataset
+        self.pts_idx = pts_idx_list
+        self.test_area = test_area
+        self.train_idx, self.val_idx = dataset.split_indices(test_area)
+        self.num_classes = cfg.model.num_classes
+
+    def _assemble(self, b: s3dis_data.Batch, *, siamese: bool,
+                  augment_pairs: bool, full_mask: bool) -> Dict[str, np.ndarray]:
+        n = b.data.shape[1]
+        if full_mask or self.pts_idx is None:
+            mask = np.ones((b.data.shape[0], n), np.float32)
+        else:
+            mask = sampling.indices_to_mask(self.pts_idx, b.sample_ids, n)
+        data = b.data
+        valid = np.zeros(b.data.shape[0], np.float32)
+        valid[: b.valid] = 1.0
+        if siamese:
+            aug = augment.s3dis_augment if augment_pairs else None
+            data = augment.make_siamese_batch(data, self.np_rng, aug)
+            mask = augment.interleave_duplicate(mask)
+            seg = augment.interleave_duplicate(b.seg)
+            valid = augment.interleave_duplicate(valid)
+        else:
+            seg = b.seg
+        return {
+            "data": data.astype(np.float32),
+            "seg": seg.astype(np.int32),
+            "seg_onehot": onehot_encode(seg, self.num_classes),
+            "mask": mask,
+            "valid": valid,
+        }
+
+    def train_epoch(self, epoch: Optional[int] = None) -> Dict[str, float]:
+        epoch = self.epoch if epoch is None else epoch
+        siamese = self.style == "Full"
+        gate = self._gate(epoch)
+        augment_pairs = siamese and epoch >= self.rampup
+        totals, count = {}, 0
+        for b in self.ds.batches(self.train_idx, self.cfg.train.batch_size,
+                                 shuffle=True, drop_last=True, rng=self.np_rng):
+            batch = self._assemble(b, siamese=siamese,
+                                   augment_pairs=augment_pairs, full_mask=False)
+            batch = self._put(batch, pairs=siamese)
+            self.state, metrics = self.train_step(
+                self.state, batch, gate, self._next_rng()
+            )
+            count += b.valid
+            for k, v in metrics.items():
+                totals[k] = totals.get(k, 0.0) + float(v) * b.valid
+        self.epoch = epoch + 1
+        return {k: v / max(count, 1) for k, v in totals.items()}
+
+    def evaluate(self) -> Tuple[float, float, float, np.ndarray]:
+        """Validation over the held-out area: global confusion mIoU
+        (S3DIS_DGCNN_trainer.py:412-481). Returns (loss, acc, miou,
+        per-class iou [13])."""
+        acc = ConfusionAccumulator(self.num_classes)
+        losses = []
+        for b in self.ds.batches(self.val_idx, self.cfg.train.batch_size):
+            batch = self._assemble(b, siamese=False, augment_pairs=False,
+                                   full_mask=True)
+            prob, loss = self.eval_step(self.state, self._put(batch, pairs=False))
+            prob = np.asarray(prob)[: b.valid]
+            losses.append(float(loss))
+            acc.update(prob.argmax(-1), b.seg[: b.valid])
+        return (
+            float(np.mean(losses)) if losses else 0.0,
+            acc.accuracy,
+            acc.miou,
+            acc.iou,
+        )
+
+    def test(self, rooms: s3dis_data.S3DISTestRooms, *,
+             use_label_prop: Optional[bool] = None,
+             pred_dir: Optional[str] = None) -> Dict[str, float]:
+        """Room-by-room block inference + LP + optional per-room .mat dump
+        (S3DIS_DGCNN_trainer.py:499-584)."""
+        if use_label_prop is None:
+            use_label_prop = self.style == "Full"
+        lp = self.cfg.labelprop
+        conf = ConfusionAccumulator(self.num_classes)
+        bs = max(self.cfg.train.batch_size, 1)
+        eval_fwd = jax.jit(
+            lambda state, x: self.forward(
+                state.params, state.bn_state, x, None,
+                training=False, bn_decay=None, rng=jax.random.PRNGKey(0),
+            )[0]
+        )
+        for r in range(len(rooms)):
+            blocks, labels, path = rooms.load_room(r, rng=self.np_rng)
+            room_pred = []
+            for start in range(0, len(blocks), bs):
+                chunk = blocks[start : start + bs]
+                valid = len(chunk)
+                if valid < bs:  # pad to the compiled shape
+                    pad = np.repeat(chunk[:1], bs - valid, axis=0)
+                    chunk = np.concatenate([chunk, pad])
+                logits = eval_fwd(self.state, chunk.astype(np.float32))
+                prob = np.asarray(jax.nn.softmax(logits, axis=-1))[:valid]
+                if use_label_prop:
+                    prob = np.asarray(propagate_batch(
+                        chunk[:valid, :, 0:3].astype(np.float32), prob,
+                        chunk[:valid, :, 3:6].astype(np.float32),
+                        alpha=lp.alpha, beta=lp.beta,
+                        xyz_bandwidth=lp.xyz_bandwidth,
+                        rgb_bandwidth=lp.rgb_bandwidth,
+                        ridge=lp.ridge, solver=lp.solver, cg_iters=lp.cg_iters,
+                    ))
+                room_pred.append(prob.argmax(-1))
+            if room_pred:
+                pred = np.concatenate(room_pred)
+                conf.update(pred, labels)
+                if pred_dir is not None:
+                    self._dump_room(pred_dir, path, blocks, pred, labels)
+        return {
+            "miou": conf.miou,
+            "accuracy": conf.accuracy,
+            "per_class_iou": conf.iou,
+        }
+
+    @staticmethod
+    def _dump_room(pred_dir: str, room_path: str, data, pred, gt) -> None:
+        """Per-room {data, pred, gt} .mat export (S3DIS_DGCNN_trainer.py:573-580)."""
+        import os
+        import scipy.io as scio
+
+        os.makedirs(pred_dir, exist_ok=True)
+        name = os.path.splitext(os.path.basename(room_path))[0]
+        scio.savemat(
+            os.path.join(pred_dir, f"{name}_pred_gt.mat"),
+            {"data": data, "pred": pred, "gt": gt},
+        )

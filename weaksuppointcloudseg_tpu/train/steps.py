@@ -1,0 +1,153 @@
+"""Jitted train / eval step factories.
+
+These are the TPU equivalents of the reference's per-batch ``sess.run``
+blocks (ShapeNet/ShapeNet_DGCNN_trainer.py:308-314 and the loss graph at
+:88-133): one pure function per (style, config) that XLA compiles once and
+replays every step.
+
+Design notes:
+- Everything dynamic between steps (step counter, rampup gate, rng key) is a
+  *runtime input*, so the jit cache holds exactly one executable per config.
+  This also fixes quirk Q1 (the reference's rampup gate is a frozen graph
+  constant 0.0; here the gate is a fed scalar, with the frozen behavior
+  available via ``WeakSupConfig.compat_frozen_gate``).
+- The LR / BN-decay staircase schedules are computed *inside* the step from
+  the step counter (ops/schedules.py) — no host round-trip.
+- Batches arrive sharded over the mesh batch axis (parallel/mesh.py); the
+  mean-reductions in the losses and BN moments span the sharded axis, so
+  XLA's partitioner inserts the psum collectives (data-parallel gradient
+  all-reduce + cross-replica BN) automatically.
+- ``state`` buffers are donated — params/optimizer state update in place in
+  HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from weaksuppointcloudseg_tpu.configs import ExperimentConfig
+from weaksuppointcloudseg_tpu.losses.weaksup import (
+    masked_softmax_ce,
+    siamese_consistency,
+    mil_inexact,
+    smooth_knn_laplacian,
+)
+from weaksuppointcloudseg_tpu.models.dgcnn import apply_dgcnn_seg
+from weaksuppointcloudseg_tpu.ops.schedules import (
+    learning_rate_schedule,
+    bn_decay_schedule,
+)
+from weaksuppointcloudseg_tpu.train.state import TrainState
+
+
+def make_forward_fn(cfg: ExperimentConfig) -> Callable:
+    """Raw forward pass closure over the static model config."""
+
+    def forward(params, bn_state, x, cat_onehot, *, training, bn_decay, rng):
+        return apply_dgcnn_seg(
+            params, bn_state, x, cat_onehot,
+            cfg=cfg.model, training=training, bn_decay=bn_decay, rng=rng,
+            head_bn_fixed_decay=cfg.model.head_bn_fixed_decay,
+        )
+
+    return forward
+
+
+def _loss_fn(params, bn_state, batch, *, cfg, style, bn_decay, gate, rng):
+    forward = make_forward_fn(cfg)
+    logits, new_bn_state = forward(
+        params, bn_state, batch["data"], batch.get("cat_onehot"),
+        training=True, bn_decay=bn_decay, rng=rng,
+    )
+    loss_seg = masked_softmax_ce(logits, batch["seg_onehot"], batch["mask"])
+    components = {"seg": loss_seg}
+    if style == "Full":
+        prob = jax.nn.softmax(logits, axis=-1)
+        w = cfg.weaksup
+        loss_siam = w.siamese_weight * siamese_consistency(prob)
+        loss_mil = mil_inexact(logits, batch["seg_onehot"])
+        loss_smooth = smooth_knn_laplacian(
+            prob, batch["data"], gamma=w.smooth_gamma, k=w.smooth_knn,
+            channels=w.smooth_channels,
+        )
+        if w.compat_frozen_gate:
+            gate = jnp.zeros_like(gate)
+        total = loss_seg + gate * (loss_siam + loss_mil + loss_smooth)
+        components.update(
+            siamese=loss_siam, inexact=loss_mil, smooth=loss_smooth
+        )
+    else:
+        total = loss_seg
+    components["total"] = total
+    return total, (components, new_bn_state, logits)
+
+
+def _accuracy(logits, seg_labels, valid_mask):
+    """Fraction of correctly classified points over valid samples."""
+    pred = jnp.argmax(logits, axis=-1)
+    correct = (pred == seg_labels).astype(jnp.float32) * valid_mask[:, None]
+    return jnp.sum(correct) / jnp.maximum(
+        jnp.sum(valid_mask) * seg_labels.shape[1], 1.0
+    )
+
+
+def make_train_step(cfg: ExperimentConfig, style: Optional[str] = None) -> Callable:
+    """Build the jitted train step.
+
+    The returned function has signature
+        (state, batch, gate, rng) -> (state, metrics)
+    with ``batch`` a dict of device arrays:
+        data        [B, N, C]       (Full style: B = 2 * unique, interleaved)
+        seg_onehot  [B, N, K]
+        seg         [B, N] int      (for the accuracy metric)
+        mask        [B, N]          labelled-point mask
+        cat_onehot  [B, num_categories] (ShapeNet only)
+        valid       [B]             1.0 for real samples, 0 for padding
+    and ``gate`` the rampup gate scalar (epoch >= rampup ? 1.0 : 0.0).
+    """
+    style = style or cfg.train.style
+    batch_size = cfg.train.batch_size * (2 if style == "Full" else 1)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, gate, rng):
+        lr = learning_rate_schedule(state.step, batch_size, cfg.schedule)
+        bn_decay = bn_decay_schedule(state.step, batch_size, cfg.schedule)
+        grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+        (_, (components, new_bn_state, logits)), grads = grad_fn(
+            state.params, state.bn_state, batch,
+            cfg=cfg, style=style, bn_decay=bn_decay, gate=gate, rng=rng,
+        )
+        new_state = state.replace(bn_state=new_bn_state).apply_gradients(grads, lr)
+        metrics = dict(components)
+        metrics["lr"] = lr
+        metrics["bn_decay"] = bn_decay
+        metrics["acc"] = _accuracy(logits, batch["seg"], batch["valid"])
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: ExperimentConfig) -> Callable:
+    """Build the jitted eval forward: (state, batch) -> (prob, loss).
+
+    Runs with training=False — population BN stats, no dropout. (The
+    reference's Plain-style eval runs with Is_Training=True, quirk Q7; the
+    sound Full-style eval path is what this reproduces.)
+    """
+
+    forward = make_forward_fn(cfg)
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        logits, _ = forward(
+            state.params, state.bn_state, batch["data"], batch.get("cat_onehot"),
+            training=False, bn_decay=None, rng=jax.random.PRNGKey(0),
+        )
+        loss = masked_softmax_ce(logits, batch["seg_onehot"], batch["mask"])
+        return jax.nn.softmax(logits, axis=-1), loss
+
+    return eval_step
