@@ -62,15 +62,23 @@ def main() -> None:
     gate = np.float32(1.0)
     key = jax.random.PRNGKey(1)
 
-    # warmup (compile)
-    state, metrics = train_step(state, batch, gate, key)
-    jax.block_until_ready(metrics["total"])
+    # NOTE: on the axon-tunneled TPU, jax.block_until_ready returns before
+    # device execution finishes; a scalar D2H fetch is the only reliable
+    # barrier. Keys are pre-generated so the loop is pure dispatch.
+    def sync(metrics) -> float:
+        return float(metrics["total"])
 
-    steps = 20
+    steps = 30
+    keys = jax.random.split(key, steps + 1)
+
+    # warmup (compile)
+    state, metrics = train_step(state, batch, gate, keys[0])
+    sync(metrics)
+
     t0 = time.perf_counter()
     for i in range(steps):
-        state, metrics = train_step(state, batch, gate, jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics["total"])
+        state, metrics = train_step(state, batch, gate, keys[i + 1])
+    sync(metrics)
     dt = time.perf_counter() - t0
 
     points_per_sec = steps * unique_bs * n / dt

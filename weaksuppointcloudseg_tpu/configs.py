@@ -67,6 +67,9 @@ class ModelConfig:
     head_bn_fixed_decay: Optional[float] = None
     # compute dtype for matmul-heavy ops (params & BN stats stay fp32)
     compute_dtype: str = "float32"
+    # fused Pallas distance+top-k kernel for the EdgeConv graphs (TPU only;
+    # non-TPU backends silently use the XLA path)
+    use_fused_knn: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

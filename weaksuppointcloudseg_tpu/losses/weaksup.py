@@ -89,10 +89,20 @@ def smooth_knn_laplacian(
     """
     if channels is not None:
         x = x[..., channels[0]:channels[1]]
-    d = knn_ops.pairwise_sqdist(x)
-    d = jnp.maximum(d, 0.0)  # reference clamps negative fp error to 0
-    neg_topk, idx = jax.lax.top_k(-d, k)  # [B, N, k]
-    w = jnp.exp(neg_topk / gamma)
+    # The weights depend only on the *input* x (never on params), so the
+    # whole distance/top-k side is gradient-free; on TPU it runs through the
+    # fused Pallas kernel (no B x N x N in HBM). Gradients flow to the
+    # network only through prob / its neighbor gather.
+    if jax.default_backend() in ("tpu", "axon"):
+        from weaksuppointcloudseg_tpu.ops.knn_pallas import knn_pallas
+
+        idx, sqd = knn_pallas(jax.lax.stop_gradient(x), k, with_values=True)
+        w = jnp.exp(-jnp.maximum(sqd, 0.0) / gamma)
+    else:
+        d = knn_ops.pairwise_sqdist(jax.lax.stop_gradient(x))
+        d = jnp.maximum(d, 0.0)  # reference clamps negative fp error to 0
+        neg_topk, idx = jax.lax.top_k(-d, k)  # [B, N, k]
+        w = jnp.exp(neg_topk / gamma)
     p_nbr = knn_ops.gather_neighbors(prob, idx)  # [B, N, k, K]
     diff2 = jnp.mean(jnp.square(prob[:, :, None, :] - p_nbr), axis=-1)  # [B, N, k]
     return jnp.mean(w * diff2)

@@ -108,6 +108,7 @@ def apply_dgcnn_seg(
 ) -> Tuple[jax.Array, dict]:
     """Forward pass. Returns (logits [B, N, num_classes], new BN state)."""
     new_state = dict(state)
+    knn_graph = knn_ops.knn_graph_fused if cfg.use_fused_knn else knn_ops.knn_graph
     kw = dict(training=training, bn_decay=bn_decay, eps=cfg.bn_eps)
     head_kw = dict(kw)
     if head_bn_fixed_decay is not None:
@@ -118,7 +119,7 @@ def apply_dgcnn_seg(
     # --- Spatial transform branch (ShapeNet only) ---
     if cfg.use_transform_net:
         g = _knn_input(x, cfg)
-        idx = knn_ops.knn_graph(g, cfg.k)
+        idx = knn_graph(g, cfg.k)
         ef = knn_ops.edge_feature(g.astype(compute_dtype), idx)
         transform, new_state["transform_net"] = apply_transform_net(
             params["transform_net"], state["transform_net"], ef,
@@ -136,7 +137,7 @@ def apply_dgcnn_seg(
     stage_outputs = []
     for s_i, widths in enumerate(cfg.edge_channels):
         src = graph_feat if s_i == 0 else stage_outputs[-1]
-        idx = knn_ops.knn_graph(src, cfg.k)
+        idx = knn_graph(src, cfg.k)
         h = knn_ops.edge_feature(
             (feat if s_i == 0 else stage_outputs[-1]), idx
         )  # [B, N, k, 2C]

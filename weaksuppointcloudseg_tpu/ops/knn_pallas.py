@@ -1,0 +1,137 @@
+"""Fused pairwise-distance + k-nearest-neighbor Pallas TPU kernel.
+
+The reference computes the dense B x N x N distance matrix in HBM and then
+runs a generic sort-based top-k over it (tf_util.py:638-671). Under XLA the
+same pattern costs ~3 ms (distance, 256 MB HBM write) + ~29 ms (top-k) for
+B=16, N=2048 on one v5e core. This kernel fuses both:
+
+- the distance *tile* [ROW_TILE, N] lives only in VMEM (registers/vector
+  memory), never in HBM — the N x N matrix is never materialized;
+- the distance block is one MXU matmul (-2 X_tile X^T fused with the squared
+  norms);
+- selection is k rounds of min + lowest-index tie-break over the VMEM tile
+  (VPU), exactly matching ``jax.lax.top_k(-d, k)`` semantics (smallest
+  distance first, ties -> lowest index — the reference's tf.nn.top_k
+  behavior);
+- channels are zero-padded to the 128-lane width (zero padding cannot change
+  a squared distance), rows to the row tile, and padded columns are pushed to
+  +inf so they are never selected.
+
+The kernel returns int32 indices only — kNN selection is not differentiated
+anywhere in the pipeline (gradients flow through the subsequent gather,
+which stays in XLA; see models/dgcnn.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _knn_kernel(rows_ref, all_ref, out_ref, val_ref, *, k: int, n_valid: int,
+                n_pad: int):
+    """One (batch, row-tile) grid step.
+
+    rows_ref: [1, TM, Cp] query rows (VMEM)
+    all_ref:  [1, Np, Cp] all points of this batch element (VMEM)
+    out_ref:  [1, TM, k] int32 neighbor indices, nearest first
+    val_ref:  [1, TM, k] f32 squared distances of the selected neighbors
+    """
+    rows = rows_ref[0]
+    allp = all_ref[0]
+    # -2 X_q X^T on the MXU, fp32 accumulation.
+    d = -2.0 * jax.lax.dot_general(
+        rows, allp,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d = d + jnp.sum(jnp.square(rows.astype(jnp.float32)), axis=1, keepdims=True)
+    d = d + jnp.sum(jnp.square(allp.astype(jnp.float32)), axis=1)[None, :]
+
+    tm = d.shape[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
+    if n_valid < n_pad:  # mask zero-padded phantom points
+        d = jnp.where(col_ids < n_valid, d, jnp.inf)
+
+    # k rounds of (min, lowest-index tie-break, knock out the winner).
+    cols, vals = [], []
+    for _ in range(k):
+        m = jnp.min(d, axis=1, keepdims=True)
+        idx = jnp.min(jnp.where(d == m, col_ids, n_pad), axis=1, keepdims=True)
+        cols.append(idx)
+        vals.append(m)
+        d = jnp.where(col_ids == idx, jnp.inf, d)
+    out_ref[0] = jnp.concatenate(cols, axis=1)
+    val_ref[0] = jnp.concatenate(vals, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "row_tile", "interpret", "with_values")
+)
+def knn_pallas(
+    x: jax.Array,
+    k: int,
+    *,
+    row_tile: int = 256,
+    interpret: bool = False,
+    with_values: bool = False,
+):
+    """kNN via the fused Pallas kernel.
+
+    Args:
+      x: [B, N, C] points/features (any float dtype; distance accumulates
+        fp32).
+      k: neighbor count (self included, like tf_util.knn).
+      row_tile: query rows per grid step (VMEM tile height).
+      interpret: run in the Pallas interpreter (CPU tests).
+      with_values: also return the selected squared distances (used by the
+        smoothness loss, SmoothConstraint.py:154-158; non-differentiable —
+        stop_gradient the input).
+
+    Returns:
+      int32 idx [B, N, k] nearest first — identical ordering to
+      ``knn(pairwise_sqdist(x), k)`` up to fp associativity; with
+      ``with_values`` a (idx, sqdist [B, N, k] f32) tuple.
+    """
+    b, n, c = x.shape
+    tm = min(row_tile, _round_up(n, 8))
+    n_pad = _round_up(n, tm)
+    c_pad = _round_up(c, LANE)
+    if (n_pad, c_pad) != (n, c):
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, c_pad - c)))
+
+    grid = (b, n_pad // tm)
+    idx, vals = pl.pallas_call(
+        functools.partial(_knn_kernel, k=k, n_valid=n, n_pad=n_pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tm, c_pad), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, c_pad), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tm, k), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, k), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n_pad, k), jnp.int32),
+            jax.ShapeDtypeStruct((b, n_pad, k), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x, x)
+    if with_values:
+        return idx[:, :n], vals[:, :n]
+    return idx[:, :n]
