@@ -71,3 +71,81 @@ def make_siamese_batch(
 def interleave_duplicate(arr: np.ndarray) -> np.ndarray:
     """[B, ...] -> [2B, ...] with each row duplicated (labels/masks)."""
     return np.repeat(arr, 2, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Provider-style batch augmentations (Networks/dgcnn/provider.py:20-137 —
+# vendored but unused by the reference trainers; provided for completeness
+# and for classification training). All vectorized over the batch.
+# ---------------------------------------------------------------------------
+
+
+def shuffle_data(data: np.ndarray, labels: np.ndarray,
+                 rng: np.random.Generator):
+    """Shuffle data/labels coherently; returns (data, labels, perm)."""
+    perm = rng.permutation(len(labels))
+    return data[perm], labels[perm], perm
+
+
+def _rot_y(angles: np.ndarray) -> np.ndarray:
+    """[B] angles -> [B, 3, 3] rotation matrices about the y (up) axis."""
+    c, s = np.cos(angles), np.sin(angles)
+    z, o = np.zeros_like(c), np.ones_like(c)
+    return np.stack(
+        [np.stack([c, z, s], -1), np.stack([z, o, z], -1),
+         np.stack([-s, z, c], -1)], axis=-2)
+
+
+def rotate_point_cloud(batch: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Random y-axis rotation per sample (provider.py:33-52)."""
+    angles = rng.uniform(0, 2 * np.pi, batch.shape[0])
+    return np.einsum("bnc,bcd->bnd", batch, _rot_y(angles)).astype(batch.dtype)
+
+
+def rotate_point_cloud_by_angle(batch: np.ndarray, angle: float) -> np.ndarray:
+    """Fixed y-axis rotation (provider.py:54-72)."""
+    rot = _rot_y(np.full(batch.shape[0], angle))
+    return np.einsum("bnc,bcd->bnd", batch, rot).astype(batch.dtype)
+
+
+def rotate_perturbation_point_cloud(
+    batch: np.ndarray, rng: np.random.Generator,
+    angle_sigma: float = 0.06, angle_clip: float = 0.18,
+) -> np.ndarray:
+    """Small random xyz-axis rotations (provider.py:74-97)."""
+    out = np.empty_like(batch)
+    for i in range(batch.shape[0]):
+        a = np.clip(angle_sigma * rng.standard_normal(3), -angle_clip, angle_clip)
+        rx = np.array([[1, 0, 0],
+                       [0, np.cos(a[0]), -np.sin(a[0])],
+                       [0, np.sin(a[0]), np.cos(a[0])]])
+        ry = np.array([[np.cos(a[1]), 0, np.sin(a[1])],
+                       [0, 1, 0],
+                       [-np.sin(a[1]), 0, np.cos(a[1])]])
+        rz = np.array([[np.cos(a[2]), -np.sin(a[2]), 0],
+                       [np.sin(a[2]), np.cos(a[2]), 0],
+                       [0, 0, 1]])
+        out[i] = batch[i] @ (rz @ ry @ rx).T
+    return out
+
+
+def jitter_point_cloud(batch: np.ndarray, rng: np.random.Generator,
+                       sigma: float = 0.01, clip: float = 0.05) -> np.ndarray:
+    """Clipped Gaussian jitter (provider.py:99-110)."""
+    noise = np.clip(sigma * rng.standard_normal(batch.shape), -clip, clip)
+    return (batch + noise).astype(batch.dtype)
+
+
+def shift_point_cloud(batch: np.ndarray, rng: np.random.Generator,
+                      shift_range: float = 0.1) -> np.ndarray:
+    """Per-sample uniform translation (provider.py:112-124)."""
+    shifts = rng.uniform(-shift_range, shift_range, (batch.shape[0], 1, 3))
+    return (batch + shifts).astype(batch.dtype)
+
+
+def random_scale_point_cloud(batch: np.ndarray, rng: np.random.Generator,
+                             scale_low: float = 0.8,
+                             scale_high: float = 1.25) -> np.ndarray:
+    """Per-sample uniform scale (provider.py:126-137)."""
+    scales = rng.uniform(scale_low, scale_high, (batch.shape[0], 1, 1))
+    return (batch * scales).astype(batch.dtype)

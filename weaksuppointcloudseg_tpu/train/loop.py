@@ -110,6 +110,37 @@ class _TrainerBase:
         if self.mesh is not None:
             self.state = replicate(self.state, self.mesh)
 
+    # -- shared epoch driver ------------------------------------------------
+
+    def _run_train_epoch(self, batches, epoch, gate, siamese, augment_pairs):
+        """Prefetched step loop: batch assembly + H2D run on a background
+        thread (data/prefetch.py); per-step metrics stay on device and are
+        fetched once at epoch end (a per-step float() would serialize the
+        axon dispatch pipeline)."""
+        from weaksuppointcloudseg_tpu.data.prefetch import prefetch
+
+        def assemble(b):
+            batch = self._assemble(b, siamese=siamese,
+                                   augment_pairs=augment_pairs, full_mask=False)
+            return self._put(batch, pairs=siamese), b.valid
+
+        device_metrics, counts = [], []
+        for batch, valid in prefetch(batches, depth=2, transform=assemble):
+            self.state, metrics = self.train_step(
+                self.state, batch, gate, self._next_rng()
+            )
+            device_metrics.append(metrics)
+            counts.append(valid)
+        self.epoch = epoch + 1
+        if not device_metrics:
+            return {}
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jax.numpy.stack(xs), *device_metrics
+        )
+        host = jax.tree_util.tree_map(np.asarray, stacked)  # one sync
+        w = np.asarray(counts, np.float64)
+        return {k: float(np.sum(v * w) / w.sum()) for k, v in host.items()}
+
 
 class ShapeNetTrainer(_TrainerBase):
     """ShapeNet part-segmentation trainer (ShapeNet_DGCNN_trainer.py)."""
@@ -161,20 +192,9 @@ class ShapeNetTrainer(_TrainerBase):
         siamese = self.style == "Full"
         gate = self._gate(epoch)
         augment_pairs = siamese and epoch >= self.rampup
-        totals, count = {}, 0
-        for b in self.ds.batches("train", self.cfg.train.batch_size,
-                                 shuffle=True, drop_last=True, rng=self.np_rng):
-            batch = self._assemble(b, siamese=siamese,
-                                   augment_pairs=augment_pairs, full_mask=False)
-            batch = self._put(batch, pairs=siamese)
-            self.state, metrics = self.train_step(
-                self.state, batch, gate, self._next_rng()
-            )
-            count += b.valid
-            for k, v in metrics.items():
-                totals[k] = totals.get(k, 0.0) + float(v) * b.valid
-        self.epoch = epoch + 1
-        return {k: v / max(count, 1) for k, v in totals.items()}
+        batches = self.ds.batches("train", self.cfg.train.batch_size,
+                                  shuffle=True, drop_last=True, rng=self.np_rng)
+        return self._run_train_epoch(batches, epoch, gate, siamese, augment_pairs)
 
     def evaluate(self) -> Tuple[float, float, float, np.ndarray]:
         """Validation pass. Returns (loss, acc, perdata_miou, pershape_miou
@@ -298,20 +318,9 @@ class S3DISTrainer(_TrainerBase):
         siamese = self.style == "Full"
         gate = self._gate(epoch)
         augment_pairs = siamese and epoch >= self.rampup
-        totals, count = {}, 0
-        for b in self.ds.batches(self.train_idx, self.cfg.train.batch_size,
-                                 shuffle=True, drop_last=True, rng=self.np_rng):
-            batch = self._assemble(b, siamese=siamese,
-                                   augment_pairs=augment_pairs, full_mask=False)
-            batch = self._put(batch, pairs=siamese)
-            self.state, metrics = self.train_step(
-                self.state, batch, gate, self._next_rng()
-            )
-            count += b.valid
-            for k, v in metrics.items():
-                totals[k] = totals.get(k, 0.0) + float(v) * b.valid
-        self.epoch = epoch + 1
-        return {k: v / max(count, 1) for k, v in totals.items()}
+        batches = self.ds.batches(self.train_idx, self.cfg.train.batch_size,
+                                  shuffle=True, drop_last=True, rng=self.np_rng)
+        return self._run_train_epoch(batches, epoch, gate, siamese, augment_pairs)
 
     def evaluate(self) -> Tuple[float, float, float, np.ndarray]:
         """Validation over the held-out area: global confusion mIoU
