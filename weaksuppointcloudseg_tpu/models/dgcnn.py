@@ -108,7 +108,6 @@ def apply_dgcnn_seg(
 ) -> Tuple[jax.Array, dict]:
     """Forward pass. Returns (logits [B, N, num_classes], new BN state)."""
     new_state = dict(state)
-    knn_graph = knn_ops.knn_graph_fused if cfg.use_fused_knn else knn_ops.knn_graph
     kw = dict(training=training, bn_decay=bn_decay, eps=cfg.bn_eps)
     head_kw = dict(kw)
     if head_bn_fixed_decay is not None:
@@ -119,8 +118,9 @@ def apply_dgcnn_seg(
     # --- Spatial transform branch (ShapeNet only) ---
     if cfg.use_transform_net:
         g = _knn_input(x, cfg)
-        idx = knn_graph(g, cfg.k)
-        ef = knn_ops.edge_feature(g.astype(compute_dtype), idx)
+        ef = knn_ops.edge_feature_auto(
+            g, g.astype(compute_dtype), cfg.k, use_fused=cfg.use_fused_knn
+        )
         transform, new_state["transform_net"] = apply_transform_net(
             params["transform_net"], state["transform_net"], ef,
             K=g.shape[-1], training=training, bn_decay=bn_decay, bn_eps=cfg.bn_eps,
@@ -137,9 +137,9 @@ def apply_dgcnn_seg(
     stage_outputs = []
     for s_i, widths in enumerate(cfg.edge_channels):
         src = graph_feat if s_i == 0 else stage_outputs[-1]
-        idx = knn_graph(src, cfg.k)
-        h = knn_ops.edge_feature(
-            (feat if s_i == 0 else stage_outputs[-1]), idx
+        h = knn_ops.edge_feature_auto(
+            src, (feat if s_i == 0 else stage_outputs[-1]), cfg.k,
+            use_fused=cfg.use_fused_knn,
         )  # [B, N, k, 2C]
         for w in widths:
             name = f"adj_conv{conv_i}"

@@ -72,10 +72,9 @@ def apply_dgcnn_cls(
 ) -> Tuple[jax.Array, dict]:
     """Forward pass -> (logits [B, num_classes], new BN state)."""
     new_state = dict(state)
-    knn_graph = knn_ops.knn_graph_fused if cfg.use_fused_knn else knn_ops.knn_graph
     kw = dict(training=training, bn_decay=bn_decay, eps=cfg.bn_eps)
 
-    ef = knn_ops.edge_feature(x, knn_graph(x, cfg.k))
+    ef = knn_ops.edge_feature_auto(x, x, cfg.k, use_fused=cfg.use_fused_knn)
     transform, new_state["transform_net"] = apply_transform_net(
         params["transform_net"], state["transform_net"], ef,
         K=3, training=training, bn_decay=bn_decay, bn_eps=cfg.bn_eps,
@@ -87,7 +86,8 @@ def apply_dgcnn_cls(
     stage_outputs = []
     for i in range(len(cfg.edge_channels)):
         name = f"dgcnn{i + 1}"
-        h = knn_ops.edge_feature(feat, knn_graph(feat, cfg.k))
+        h = knn_ops.edge_feature_auto(feat, feat, cfg.k,
+                                      use_fused=cfg.use_fused_knn)
         h, new_state[name] = layers.apply_conv(params[name], state[name], h, **kw)
         feat = jnp.max(h, axis=2)  # [B, N, C]
         stage_outputs.append(feat)

@@ -94,6 +94,19 @@ def knn_graph(x: jax.Array, k: int) -> jax.Array:
     return knn(pairwise_sqdist(x), k)
 
 
+def edge_feature_auto(g: jax.Array, f: jax.Array, k: int,
+                      use_fused: bool = True) -> jax.Array:
+    """EdgeConv edge features concat([f_i, f_j - f_i]) with the graph built
+    on ``g``. On TPU with ``use_fused`` the kNN selection runs through the
+    fused Pallas distance+top-k kernel and the gather stays in XLA — the
+    measured fastest mix (the fully fused gather-as-one-hot-matmul variant in
+    ops/edgeconv_pallas.py is ~25% slower end-to-end at B=64, N=2048: XLA's
+    gather beats the MXU one-hot matmul at k=20)."""
+    if use_fused and jax.default_backend() in ("tpu", "axon"):
+        return edge_feature(f, knn_graph_fused(g, k))
+    return edge_feature(f, knn_graph(g, k))
+
+
 def knn_graph_fused(x: jax.Array, k: int) -> jax.Array:
     """kNN graph via the fused Pallas kernel on TPU (6-11x faster than the
     XLA dist+top_k at N=2048-4096); identical indices. Falls back to the XLA
