@@ -69,8 +69,11 @@ def make_siamese_batch(
 
 
 def interleave_duplicate(arr: np.ndarray) -> np.ndarray:
-    """[B, ...] -> [2B, ...] with each row duplicated (labels/masks)."""
-    return np.repeat(arr, 2, axis=0)
+    """[B, ...] -> [2B, ...] with each row duplicated (labels/masks).
+    Native single-pass copy when the C++ batcher is built."""
+    from weaksuppointcloudseg_tpu import native
+
+    return native.interleave_duplicate(np.asarray(arr))
 
 
 # ---------------------------------------------------------------------------

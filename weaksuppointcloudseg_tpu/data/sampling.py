@@ -99,8 +99,6 @@ def indices_to_mask(
     Mirrors the mask construction at ShapeNet_DGCNN_trainer.py:243-258 /
     S3DIS_DGCNN_trainer.py:245-252.
     """
-    mask = np.zeros((len(sample_ids), num_points), dtype=np.float32)
-    for b, sid in enumerate(sample_ids):
-        idx = pts_idx[sid]
-        mask[b, np.asarray(idx).reshape(-1)] = 1.0
-    return mask
+    from weaksuppointcloudseg_tpu import native
+
+    return native.build_mask(pts_idx, list(sample_ids), num_points)

@@ -14,8 +14,15 @@ import numpy as np
 
 
 def onehot_encode(y: np.ndarray, num_classes: int, dtype=np.float32) -> np.ndarray:
-    """One-hot encode integer labels of any shape -> shape + [num_classes]."""
+    """One-hot encode integer labels of any shape -> shape + [num_classes].
+
+    Uses the native C++ batcher (weaksuppointcloudseg_tpu/native.py) when
+    built; numpy eye-take otherwise."""
     y = np.asarray(y)
+    if dtype == np.float32:
+        from weaksuppointcloudseg_tpu import native
+
+        return native.onehot(y, num_classes)
     return np.eye(num_classes, dtype=dtype)[y]
 
 
