@@ -5,6 +5,7 @@ from weaksuppointcloudseg_tpu.losses.weaksup import (
     smooth_knn_laplacian,
     total_weaksup_loss,
 )
+from weaksuppointcloudseg_tpu.losses import alternates
 
 __all__ = [
     "masked_softmax_ce",
@@ -12,4 +13,5 @@ __all__ = [
     "mil_inexact",
     "smooth_knn_laplacian",
     "total_weaksup_loss",
+    "alternates",
 ]
