@@ -45,6 +45,11 @@ def base_parser(dataset: str, *, train: bool) -> argparse.ArgumentParser:
         p.add_argument("--CompatFrozenGate", action="store_true",
                        help="reproduce the released code's frozen rampup gate "
                             "(quirk Q1): weak losses never receive gradient")
+        p.add_argument("--Resume", type=str, default=None,
+                       help="checkpoint path (or a Results datetime stamp) to "
+                            "resume from — restores params, optimizer state, "
+                            "BN stats, step AND epoch (complete resume; the "
+                            "reference loses its epoch counter)")
     else:
         p.add_argument("--batchsize", type=int, default=1)
         p.add_argument("--Style", "-style", type=str, default="Full",
@@ -98,3 +103,14 @@ def find_result_dir(dataset: str, args) -> str:
     if len(matches) != 1:
         raise SystemExit(f"{len(matches)} result dirs match '{args.Datetime}' in {root}")
     return os.path.join(root, matches[0])
+
+
+def resolve_resume_checkpoint(dataset: str, resume: str) -> str:
+    """--Resume accepts an explicit checkpoint path or a datetime stamp."""
+    if os.path.exists(resume) or resume.endswith(".npz"):
+        return resume
+    root = os.path.expanduser(f"./Results/{dataset}")
+    matches = [d for d in os.listdir(root) if d.endswith(resume)]
+    if len(matches) != 1:
+        raise SystemExit(f"{len(matches)} result dirs match '{resume}' in {root}")
+    return os.path.join(root, matches[0], "Checkpoint", "Checkpoint_epoch-best.npz")

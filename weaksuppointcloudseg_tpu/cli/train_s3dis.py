@@ -52,20 +52,41 @@ def main(argv=None) -> None:
         ckpt_dir=summary.ckpt_dir,
         num_devices=args.num_devices or None,
     )
+    if args.Resume:
+        trainer.restore_checkpoint(
+            common.resolve_resume_checkpoint("S3DIS", args.Resume))
+        summary.log(f"Resumed from epoch {trainer.epoch}, "
+                    f"step {int(trainer.state.step)}\n")
+
+    from weaksuppointcloudseg_tpu.utils.profiling import MetricsLogger, StepTimer
+
+    metrics_log = MetricsLogger(
+        os.path.join(summary.summary_dir, "metrics.jsonl")
+        if summary.enabled else None)
+    timer = StepTimer()
+    n_points = ds.data.shape[1]
+    epoch_points = (
+        (len(trainer.train_idx) // cfg.train.batch_size)
+        * cfg.train.batch_size * n_points)
 
     best_miou = -1.0
-    for epoch in range(args.Epoch):
+    for epoch in range(trainer.epoch, args.Epoch):
+        timer.start()
         m = trainer.train_epoch(epoch)
+        epoch_s = timer.stop(points=epoch_points)
         summary.log(
             f"Epoch {epoch} Train loss {m['total']:.4f} acc {100 * m['acc']:.2f}% "
-            f"lr {m['lr']:.2e}\n"
+            f"lr {m['lr']:.2e} ({epoch_points / epoch_s:,.0f} pts/s)\n"
         )
+        metrics_log.log("train_epoch", epoch=epoch,
+                        points_per_sec=epoch_points / epoch_s, **m)
         if epoch % 5 == 0:
             loss, acc, miou, per_class = trainer.evaluate()
             summary.log(
                 f"Epoch {epoch} Eval loss {loss:.4f} acc {100 * acc:.2f}% "
                 f"mIoU {100 * miou:.2f}%\n"
             )
+            metrics_log.log("eval", epoch=epoch, loss=loss, acc=acc, miou=miou)
             if args.ExpRslt:
                 trainer.save_checkpoint(metric=miou)
             if miou > best_miou:

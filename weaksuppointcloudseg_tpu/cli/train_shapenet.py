@@ -47,14 +47,32 @@ def main(argv=None) -> None:
         ckpt_dir=summary.ckpt_dir,
         num_devices=args.num_devices or None,
     )
+    if args.Resume:
+        trainer.restore_checkpoint(
+            common.resolve_resume_checkpoint("ShapeNet", args.Resume))
+        summary.log(f"Resumed from epoch {trainer.epoch}, "
+                    f"step {int(trainer.state.step)}\n")
+
+    from weaksuppointcloudseg_tpu.utils.profiling import MetricsLogger, StepTimer
+
+    metrics_log = MetricsLogger(
+        os.path.join(summary.summary_dir, "metrics.jsonl")
+        if summary.enabled else None)
+    timer = StepTimer()
+    epoch_points = (
+        (num_train // cfg.train.batch_size) * cfg.train.batch_size * num_points)
 
     best_miou = -1.0
-    for epoch in range(args.Epoch):
+    for epoch in range(trainer.epoch, args.Epoch):
+        timer.start()
         m = trainer.train_epoch(epoch)
+        epoch_s = timer.stop(points=epoch_points)
         summary.log(
             f"Epoch {epoch} Train loss {m['total']:.4f} acc {100 * m['acc']:.2f}% "
-            f"lr {m['lr']:.2e}\n"
+            f"lr {m['lr']:.2e} ({epoch_points / epoch_s:,.0f} pts/s)\n"
         )
+        metrics_log.log("train_epoch", epoch=epoch,
+                        points_per_sec=epoch_points / epoch_s, **m)
         if epoch % 5 == 0:  # eval cadence: train_ShapeNet.py:121
             loss, acc, perdata, pershape = trainer.evaluate()
             miou = float(np.mean(pershape))
@@ -62,6 +80,8 @@ def main(argv=None) -> None:
                 f"Epoch {epoch} Eval loss {loss:.4f} acc {100 * acc:.2f}% "
                 f"perdata mIoU {100 * perdata:.2f}% pershape mIoU {100 * miou:.2f}%\n"
             )
+            metrics_log.log("eval", epoch=epoch, loss=loss, acc=acc,
+                            perdata_miou=perdata, pershape_miou=miou)
             if args.ExpRslt:
                 trainer.save_checkpoint(metric=miou)
             if miou > best_miou:

@@ -147,11 +147,16 @@ def _knn_gather_fwd(g, f, k, row_tile, interpret):
 def _knn_gather_bwd(k, row_tile, interpret, res, cts):
     idx, g_zeros, f_zeros = res
     _, g_nbr = cts  # cotangent of the neighbor features [B, N, k, Cf]
-    b = f_zeros.shape[0]
-    # scatter-add the cotangent at the neighbor rows (XLA handles the
-    # backward scatter well; it is the forward gather that is slow)
-    bidx = jnp.arange(b)[:, None, None]
-    df = f_zeros.at[bidx, idx].add(g_nbr.astype(f_zeros.dtype))
+    b, n, _ = f_zeros.shape
+    if not interpret and jax.default_backend() in ("tpu", "axon"):
+        from weaksuppointcloudseg_tpu.ops.scatter_pallas import (
+            scatter_add_pallas,
+        )
+
+        df = scatter_add_pallas(idx, g_nbr.astype(f_zeros.dtype), n)
+    else:
+        bidx = jnp.arange(b)[:, None, None]
+        df = f_zeros.at[bidx, idx].add(g_nbr.astype(f_zeros.dtype))
     return (g_zeros, df)  # selection is non-differentiable -> zero dg
 
 
