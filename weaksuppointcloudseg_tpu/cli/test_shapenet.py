@@ -45,6 +45,11 @@ def main(argv=None) -> None:
         f"pershape mIoU {100 * res['pershape_miou']:.2f}%  "
         f"acc {100 * res['accuracy']:.2f}%"
     )
+    import numpy as np
+
+    for name, iou in zip(ds.meta.objnames, res["per_category_iou"]):
+        if not np.isnan(iou):
+            print(f"  {name:12s} IoU {100 * iou:.2f}%")
 
 
 if __name__ == "__main__":

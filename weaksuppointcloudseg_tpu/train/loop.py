@@ -272,6 +272,9 @@ class ShapeNetTrainer(_TrainerBase):
             "perdata_miou": float(np.mean(per_data_iou)),
             "pershape_miou": float(np.mean(pershape[seen])) if seen.any() else 0.0,
             "accuracy": float(np.mean(accs)),
+            # per-category table (reference prints it at test time,
+            # ShapeNet_DGCNN_trainer.py:584-587); unseen categories are NaN
+            "per_category_iou": np.where(seen, pershape, np.nan),
         }
 
 
