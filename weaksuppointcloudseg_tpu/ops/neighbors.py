@@ -57,6 +57,15 @@ def knn(sqdist: jax.Array, k: int) -> jax.Array:
 def _gather_impl(x: jax.Array, idx: jax.Array) -> jax.Array:
     B, N, C = x.shape
     k = idx.shape[-1]
+    if (x.dtype == jnp.bfloat16
+            and jax.default_backend() in ("tpu", "axon")):
+        # one-hot MXU matmul gather: bit-exact for bf16 (single nonzero
+        # product per output) and ~2x faster than XLA's gather
+        from weaksuppointcloudseg_tpu.ops.gather_pallas import (
+            gather_rows_pallas,
+        )
+
+        return gather_rows_pallas(x, idx)
     # Batched gather: for each (b, n, j) pick x[b, idx[b, n, j], :].
     flat_idx = idx.reshape(B, N * k)
     gathered = jnp.take_along_axis(x, flat_idx[..., None], axis=1)
