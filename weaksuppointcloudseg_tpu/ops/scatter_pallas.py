@@ -31,12 +31,11 @@ def _scatter_kernel(idx_ref, g_ref, out_ref, *, n_pad: int):
     g = g_ref[0]      # [TMF, C]
     tmf = idx.shape[0]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (tmf, n_pad), 1)
-    # explicit bf16 operands: the MXU f32 path rounds to bf16 anyway, so
-    # this costs no extra precision and runs at full bf16 rate; the
-    # accumulation across duplicate targets stays f32
-    onehot = (col_ids == idx).astype(jnp.bfloat16)
+    # f32 operands (explicit bf16 measured no faster and costs one mantissa
+    # step of gradient precision); accumulation is f32 either way
+    onehot = (col_ids == idx).astype(jnp.float32)
     contrib = jax.lax.dot_general(
-        onehot, g.astype(jnp.bfloat16),
+        onehot, g.astype(jnp.float32),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
