@@ -3,14 +3,13 @@
 The reference uses tf.train.Saver(max_to_keep=2) plus a shelled-out ``cp`` for
 the best copy (ShapeNet/ShapeNet_DGCNN_trainer.py:600-644) and does NOT
 checkpoint the epoch counter (incomplete resume semantics). Here a checkpoint
-is a single ``.npz`` of the flattened train-state pytree plus a JSON treedef,
-with a keep-N + best-copy manager and *complete* resume (step and epoch
-included).
+is a single ``.npz`` of the flattened train-state pytree (restored against a
+template with the same structure), with a keep-N + best-copy manager and
+*complete* resume (step and epoch included).
 """
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 from typing import Any, Tuple
@@ -25,15 +24,14 @@ def _flatten_with_paths(tree: Any):
 
 
 def save_checkpoint(path: str, tree: Any) -> None:
-    """Save a pytree of arrays (+ scalars) as <path>.npz."""
-    flat, treedef = _flatten_with_paths(tree)
+    """Save a pytree of arrays (+ scalars) as <path>.npz.
+
+    Leaves are stored positionally (restore requires a template pytree with
+    the same structure — which the trainer always has)."""
+    flat, _ = _flatten_with_paths(tree)
     arrays = {f"arr_{i}": np.asarray(x) for i, x in enumerate(flat)}
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path if path.endswith(".npz") else path + ".npz",
-             __treedef__=np.frombuffer(
-                 json.dumps(jax.tree_util.tree_structure(tree).serialize_using_proto().hex()
-                            if False else "").encode(), dtype=np.uint8),
-             **arrays)
+    np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
 
 
 def restore_checkpoint(path: str, like: Any) -> Any:
