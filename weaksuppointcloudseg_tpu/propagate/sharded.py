@@ -90,7 +90,7 @@ def label_propagation_sharded(
         mesh=mesh,
         in_specs=(P(axis), P(None), P(axis), P(None), P(axis), P(None)),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
     def solve(x_rows, x_all, rgb_rows, rgb_all, g_rows, g_all):
         lap_rows = _local_laplacian_rows(
