@@ -141,3 +141,37 @@ class TestSampling:
         for s, idx in zip(seg, lst):
             assert len(idx) == len(np.unique(s))
             assert len(np.unique(s[idx])) == len(idx)
+
+
+class TestSamplingExport:
+    def test_mat_roundtrip_rectangular(self, tmp_path, rng):
+        from weaksuppointcloudseg_tpu.data import sampling
+        idx = sampling.generate_sample_index(6, 64, 0.1, seed=2)
+        path = str(tmp_path / "SampIndex_m-0.100.mat")
+        sampling.save_sample_index_mat(path, idx)
+        back = sampling.load_sample_index_mat(path, 0.1)
+        np.testing.assert_array_equal(np.asarray(back), idx)
+
+    def test_mat_roundtrip_ragged(self, tmp_path, rng):
+        from weaksuppointcloudseg_tpu.data import sampling
+        seg = rng.integers(0, 5, (4, 64))
+        lst = sampling.generate_one_point_per_class(seg, seed=0)
+        path = str(tmp_path / "SampIndex_m-0.000.mat")
+        sampling.save_sample_index_mat(path, lst)
+        back = sampling.load_sample_index_mat(path, 0.0)
+        assert len(back) == len(lst)
+        for a, b in zip(back, lst):
+            np.testing.assert_array_equal(np.asarray(a).reshape(-1), b)
+
+
+class TestRandomSampleBlocks:
+    def test_random_sample_mode(self, rng):
+        from weaksuppointcloudseg_tpu.data import s3dis
+        pts = rng.uniform(0, 2.0, (800, 3))
+        rgb = rng.uniform(0, 255, (800, 3))
+        lab = rng.integers(0, 13, 800)
+        room = np.concatenate([pts, rgb, lab[:, None]], 1)
+        blocks, labels = s3dis.room_to_blocks(
+            room, 64, min_points=20, random_sample=True, sample_num=10, rng=rng)
+        assert blocks.shape[1:] == (64, 9)
+        assert 0 < blocks.shape[0] <= 10

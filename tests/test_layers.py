@@ -1,0 +1,135 @@
+"""Layer-level semantics: reference batch norm, conv init, dropout,
+transform net identity init, model parameter inventory."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from weaksuppointcloudseg_tpu import configs
+from weaksuppointcloudseg_tpu.models import layers
+from weaksuppointcloudseg_tpu.models.dgcnn import init_dgcnn_seg
+from weaksuppointcloudseg_tpu.models.transform_net import (
+    init_transform_net,
+    apply_transform_net,
+)
+
+
+class TestBatchNorm:
+    """batch_norm_dist_template semantics (tf_util.py:502-535): training
+    normalizes with *batch* moments (biased variance) and updates
+    pop = pop * decay + batch * (1 - decay); eval uses pop stats."""
+
+    def setup_method(self):
+        self.params = {
+            "beta": jnp.asarray([1.0, -1.0]),
+            "gamma": jnp.asarray([2.0, 0.5]),
+        }
+        self.state = {"mean": jnp.asarray([0.1, 0.2]),
+                      "var": jnp.asarray([1.5, 0.5])}
+
+    def test_training_uses_batch_moments(self, rng):
+        x = jnp.asarray(rng.standard_normal((4, 8, 2)) * 3 + 1, jnp.float32)
+        y, new_state = layers._batch_norm(
+            x, self.params, self.state, training=True, decay=0.9, eps=1e-3)
+        x_np = np.asarray(x)
+        mean = x_np.reshape(-1, 2).mean(0)
+        var = x_np.reshape(-1, 2).var(0)  # biased, like tf.nn.moments
+        want = ((x_np - mean) / np.sqrt(var + 1e-3)) * np.asarray(
+            self.params["gamma"]) + np.asarray(self.params["beta"])
+        np.testing.assert_allclose(np.asarray(y), want, rtol=1e-4, atol=1e-5)
+        # pop-stat update rule
+        np.testing.assert_allclose(
+            np.asarray(new_state["mean"]),
+            np.asarray(self.state["mean"]) * 0.9 + mean * 0.1, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(new_state["var"]),
+            np.asarray(self.state["var"]) * 0.9 + var * 0.1, rtol=1e-5)
+
+    def test_eval_uses_population_stats(self, rng):
+        x = jnp.asarray(rng.standard_normal((4, 8, 2)), jnp.float32)
+        y, new_state = layers._batch_norm(
+            x, self.params, self.state, training=False, decay=0.9, eps=1e-3)
+        want = ((np.asarray(x) - np.asarray(self.state["mean"]))
+                / np.sqrt(np.asarray(self.state["var"]) + 1e-3)
+                ) * np.asarray(self.params["gamma"]) + np.asarray(self.params["beta"])
+        np.testing.assert_allclose(np.asarray(y), want, rtol=1e-4, atol=1e-5)
+        assert new_state is self.state  # untouched at eval
+
+
+class TestConvDropout:
+    def test_xavier_range(self):
+        p, _ = layers.init_conv(jax.random.PRNGKey(0), 64, 128)
+        limit = np.sqrt(6.0 / (64 + 128))
+        w = np.asarray(p["w"])
+        assert w.shape == (64, 128)
+        assert np.abs(w).max() <= limit + 1e-6
+        assert w.std() > limit / 4  # actually spread out, not zeros
+
+    def test_conv_no_bn_no_relu_is_affine(self, rng):
+        p, _ = layers.init_conv(jax.random.PRNGKey(0), 4, 3, bn=False)
+        x = jnp.asarray(rng.standard_normal((2, 5, 4)), jnp.float32)
+        y, _ = layers.apply_conv(p, {}, x, training=True, bn=False, relu=False)
+        want = np.asarray(x) @ np.asarray(p["w"]) + np.asarray(p["b"])
+        np.testing.assert_allclose(np.asarray(y), want, rtol=1e-5, atol=1e-6)
+
+    def test_dropout_inverted_scaling(self, rng):
+        x = jnp.ones((1000, 8))
+        y = layers.dropout(x, jax.random.PRNGKey(1), 0.6, training=True)
+        y_np = np.asarray(y)
+        kept = y_np != 0
+        # kept values scaled by 1/keep_prob
+        np.testing.assert_allclose(y_np[kept], 1 / 0.6, rtol=1e-5)
+        assert kept.mean() == pytest.approx(0.6, abs=0.05)
+        # eval: identity
+        np.testing.assert_array_equal(
+            np.asarray(layers.dropout(x, jax.random.PRNGKey(1), 0.6,
+                                      training=False)), np.asarray(x))
+
+
+class TestTransformNet:
+    def test_identity_at_init(self, rng):
+        """Zero weights + identity bias -> the initial transform is I
+        (transform_nets.py:42-51), regardless of input."""
+        params, state = init_transform_net(jax.random.PRNGKey(0), in_c=6, K=3)
+        ef = jnp.asarray(rng.standard_normal((2, 32, 4, 6)), jnp.float32)
+        t, _ = apply_transform_net(params, state, ef, K=3,
+                                   training=False, bn_decay=None)
+        np.testing.assert_allclose(
+            np.asarray(t), np.tile(np.eye(3), (2, 1, 1)), atol=1e-5)
+
+
+class TestModelInventory:
+    def test_shapenet_param_shapes(self):
+        """Layer widths match DGCNN_ShapeNet.py:15-113."""
+        cfg = configs.shapenet_config().model
+        params, state = init_dgcnn_seg(jax.random.PRNGKey(0), cfg)
+        w = {k: tuple(v["w"].shape) for k, v in params.items() if "w" in v}
+        assert w["adj_conv1"] == (6, 64)     # edge features of xyz
+        assert w["adj_conv2"] == (64, 64)
+        assert w["adj_conv3"] == (128, 64)   # edge features of 64-d stage
+        assert w["adj_conv4"] == (64, 64)
+        assert w["adj_conv5"] == (128, 64)
+        # aggregation concatenates the 3 stage outputs net_1/2/3 (64 each),
+        # DGCNN_ShapeNet.py:80
+        assert w["agg_conv"] == (64 * 3, 1024)
+        assert w["cat_embed"] == (16, 64)
+        # seg head input: global(1024) + category(64) + net_1/2/3 (192)
+        assert w["seg_conv1"] == (1024 + 64 + 64 * 3, 256)
+        assert w["seg_conv2"] == (256, 256)
+        assert w["seg_conv3"] == (256, 128)
+        assert w["seg_out"] == (128, 50)
+        assert tuple(params["transform_net"]["transform_out"]["w"].shape) == (256, 9)
+
+    def test_s3dis_param_shapes(self):
+        """Layer widths match DGCNN_S3DIS.py:24-104."""
+        cfg = configs.s3dis_config().model
+        params, _ = init_dgcnn_seg(jax.random.PRNGKey(0), cfg)
+        w = {k: tuple(v["w"].shape) for k, v in params.items() if "w" in v}
+        assert w["adj_conv1"] == (18, 64)    # 9-channel input edge features
+        assert w["agg_conv"] == (64 * 3, 1024)
+        assert w["seg_conv1"] == (1024 + 64 * 3, 512)
+        assert w["seg_conv2"] == (512, 256)
+        assert w["seg_out"] == (256, 13)
+        assert "transform_net" not in params
+        assert "cat_embed" not in params

@@ -146,6 +146,9 @@ def room_to_blocks(
     block_size: float = 1.0,
     stride: float = 1.0,
     min_points: int = 100,
+    random_sample: bool = False,
+    sample_num: Optional[int] = None,
+    sample_aug: int = 1,
     rng: Optional[np.random.Generator] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Room -> fixed-size 9-channel blocks (DataIO_S3DIS.py:301-414).
@@ -153,6 +156,9 @@ def room_to_blocks(
     Args:
       data_label: [N, 7] (xyz in meters shifted to min=origin, rgb 0-255,
         class label).
+      random_sample: sample block corners uniformly instead of the regular
+        stride sweep (DataIO_S3DIS.py:377-387), ``sample_num`` blocks
+        (default: room-area estimate x ``sample_aug``).
 
     Returns:
       (blocks [K, num_point, 9] float32, labels [K, num_point] int32).
@@ -164,36 +170,50 @@ def room_to_blocks(
     max_room = data[:, 0:3].max(axis=0)
 
     limit = data[:, 0:3].max(axis=0)
-    num_block_x = int(np.ceil((limit[0] - block_size) / stride)) + 1
-    num_block_y = int(np.ceil((limit[1] - block_size) / stride)) + 1
+    if random_sample:
+        # random block corners (DataIO_S3DIS.py:377-387)
+        if sample_num is None:
+            nbx = int(np.ceil(limit[0] / block_size))
+            nby = int(np.ceil(limit[1] / block_size))
+            sample_num = nbx * nby * sample_aug
+        corners = [
+            (rng.uniform(-block_size, limit[0]), rng.uniform(-block_size, limit[1]))
+            for _ in range(sample_num)
+        ]
+    else:
+        num_block_x = int(np.ceil((limit[0] - block_size) / stride)) + 1
+        num_block_y = int(np.ceil((limit[1] - block_size) / stride)) + 1
+        corners = [
+            (i * stride, j * stride)
+            for i in range(num_block_x)
+            for j in range(num_block_y)
+        ]
 
     blocks, labels = [], []
-    for i in range(num_block_x):
-        for j in range(num_block_y):
-            xbeg, ybeg = i * stride, j * stride
-            cond = (
-                (data[:, 0] >= xbeg)
-                & (data[:, 0] <= xbeg + block_size)
-                & (data[:, 1] >= ybeg)
-                & (data[:, 1] <= ybeg + block_size)
-            )
-            n_in = int(cond.sum())
-            if n_in < min_points:
-                continue
-            block = data[cond]
-            blab = label[cond]
-            sel = sample_to_num_points(n_in, num_point, rng)
-            block, blab = block[sel], blab[sel]
+    for xbeg, ybeg in corners:
+        cond = (
+            (data[:, 0] >= xbeg)
+            & (data[:, 0] <= xbeg + block_size)
+            & (data[:, 1] >= ybeg)
+            & (data[:, 1] <= ybeg + block_size)
+        )
+        n_in = int(cond.sum())
+        if n_in < min_points:
+            continue
+        block = data[cond]
+        blab = label[cond]
+        sel = sample_to_num_points(n_in, num_point, rng)
+        block, blab = block[sel], blab[sel]
 
-            out = np.zeros((num_point, 9), np.float32)
-            out[:, 6] = block[:, 0] / max_room[0]
-            out[:, 7] = block[:, 1] / max_room[1]
-            out[:, 8] = block[:, 2] / max_room[2]
-            block[:, 0] -= block[:, 0].min() + block_size / 2
-            block[:, 1] -= block[:, 1].min() + block_size / 2
-            out[:, 0:6] = block
-            blocks.append(out)
-            labels.append(blab)
+        out = np.zeros((num_point, 9), np.float32)
+        out[:, 6] = block[:, 0] / max_room[0]
+        out[:, 7] = block[:, 1] / max_room[1]
+        out[:, 8] = block[:, 2] / max_room[2]
+        block[:, 0] -= block[:, 0].min() + block_size / 2
+        block[:, 1] -= block[:, 1].min() + block_size / 2
+        out[:, 0:6] = block
+        blocks.append(out)
+        labels.append(blab)
 
     if not blocks:
         return (

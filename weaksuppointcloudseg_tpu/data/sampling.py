@@ -89,6 +89,22 @@ def load_or_generate(
     return generate_sample_index(num_samples, num_points, m, seed=seed)
 
 
+def save_sample_index_mat(path: str, pts_idx: IndexList) -> None:
+    """Export a generated label budget in the reference's .mat layout so
+    runs are reproducible against the original tooling (C19 format:
+    rectangular int array, or ragged object rows for the m=0 scheme)."""
+    import numpy as np
+    import scipy.io as scio
+
+    if isinstance(pts_idx, np.ndarray):
+        scio.savemat(path, {"pts_idx_list": pts_idx})
+    else:
+        ragged = np.empty((1, len(pts_idx)), dtype=object)
+        for i, row in enumerate(pts_idx):
+            ragged[0, i] = np.asarray(row).reshape(1, -1)
+        scio.savemat(path, {"pts_idx_list": ragged})
+
+
 def indices_to_mask(
     pts_idx: IndexList,
     sample_ids: Sequence[int],
