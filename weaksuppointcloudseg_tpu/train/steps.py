@@ -110,7 +110,10 @@ def make_train_step(cfg: ExperimentConfig, style: Optional[str] = None) -> Calla
     and ``gate`` the rampup gate scalar (epoch >= rampup ? 1.0 : 0.0).
     """
     style = style or cfg.train.style
-    batch_size = cfg.train.batch_size * (2 if style == "Full" else 1)
+    # The schedules count UNIQUE samples: the reference passes args.batchsize
+    # (not the 2x Siamese feed size) to SetLearningRate even in Full style
+    # (train_ShapeNet.py:82, ShapeNet_DGCNN_trainer.py:26-44).
+    batch_size = cfg.train.batch_size
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, gate, rng):
