@@ -155,3 +155,17 @@ class TestIndoor3D:
         meta = indoor3d.write_area_meta(str(out_dir), str(tmp_path / "meta"), 5)
         rows = open(meta).read().split()
         assert rows == ["stanford_indoor3d/Area_5_hall_2.npy"]
+
+
+class TestSiamesePairs:
+    def test_s3dis_pairs_differ_post_rampup(self, rng):
+        """Quirk Q11: the reference's in-place S3DIS augmentation makes both
+        pair elements identical; ours must produce (original, augmented)."""
+        from weaksuppointcloudseg_tpu.data import augment
+
+        data = rng.standard_normal((3, 32, 9)).astype(np.float32)
+        out = augment.make_siamese_batch(data, rng, augment.s3dis_augment)
+        np.testing.assert_array_equal(out[0::2], data)  # originals untouched
+        assert any(
+            not np.array_equal(out[2 * i], out[2 * i + 1]) for i in range(3)
+        )

@@ -11,6 +11,15 @@ provider.py is unused):
 
 Both produce the second element of each Siamese pair; before the rampup
 epoch the pair is an exact duplicate (quirk Q2).
+
+Quirk Q11 (discovered tracing S3DIS_DGCNN_trainer.py:261-300): the reference
+S3DIS augmentation mutates the batch row *in place* (``data_i[:, 0] = ...``
+on a view) AFTER appending that same view as the "original" — so both
+elements of every post-rampup pair are the augmented cloud, the pair is
+always identical, and the x10 Siamese loss is inert up to dropout noise.
+(The ShapeNet path escapes this: ``data_i = data_i + jitter`` rebinds to a
+fresh array.) This implementation produces the paper-intended
+(original, augmented) pairs for both datasets.
 """
 
 from __future__ import annotations
