@@ -49,8 +49,10 @@ def gather_rows_pallas(
     k = idx.shape[-1]
     nk = n * k
     idx_f = idx.reshape(b, nk, 1)
-    nk_pad = _round_up(nk, tile_flat)
     n_pad = _round_up(n, 128)
+    # cap the [tile_flat, n_pad] one-hot at ~4 MB of VMEM (see scatter)
+    tile_flat = max(256, min(tile_flat, (4 << 20) // (2 * n_pad)))
+    nk_pad = _round_up(nk, tile_flat)
     if nk_pad != nk:
         idx_f = jnp.pad(idx_f, ((0, 0), (0, nk_pad - nk), (0, 0)))
     if n_pad != n:

@@ -62,8 +62,11 @@ def scatter_add_pallas(
     nk = np_ * k
     idx_f = idx.reshape(b, nk, 1)
     g_f = g.reshape(b, nk, c)
-    nk_pad = _round_up(nk, tile_flat)
     n_pad = _round_up(n, 128)
+    # the one-hot tile is [tile_flat, n_pad] f32 in VMEM; cap it at ~4 MB
+    # so N=4096 clouds fit the 16 MB scoped-vmem budget
+    tile_flat = max(256, min(tile_flat, (4 << 20) // (4 * n_pad)))
+    nk_pad = _round_up(nk, tile_flat)
     if nk_pad != nk:
         # pad targets out of range -> padded rows contribute nowhere
         idx_f = jnp.pad(idx_f, ((0, 0), (0, nk_pad - nk), (0, 0)),
