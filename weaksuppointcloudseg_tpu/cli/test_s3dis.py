@@ -27,11 +27,14 @@ S3DIS_CLASSES = [
 def main(argv=None) -> None:
     p = common.base_parser("S3DIS", train=False)
     p.add_argument("--test_area", "-ta", type=int, default=5)
+    p.add_argument("--RoomsPath", type=str, default=None,
+                   help="base dir holding meta/<area>_data_label.txt and the "
+                        "raw room files [default: --DataPath or ./Dataset/S3DIS]")
     args = p.parse_args(argv)
     args.Epoch = 1
     cfg = common.build_config(args, "S3DIS")
     data_path = args.DataPath or "./Dataset/S3DIS/indoor3d_sem_seg_hdf5_data"
-    rooms_base = args.DataPath or "./Dataset/S3DIS"
+    rooms_base = args.RoomsPath or args.DataPath or "./Dataset/S3DIS"
 
     ds = s3dis_data.S3DISDataset(data_path)
     rooms = s3dis_data.S3DISTestRooms(

@@ -105,6 +105,8 @@ def knn_pallas(
     """
     b, n, c = x.shape
     tm = min(row_tile, _round_up(n, 8))
+    # cap the [tm, N_pad] distance tile at ~4 MB of VMEM for very large N
+    tm = max(8, min(tm, _round_up((4 << 20) // (4 * max(n, 1)), 8)))
     n_pad = _round_up(n, tm)
     c_pad = _round_up(c, LANE)
     if (n_pad, c_pad) != (n, c):
