@@ -47,3 +47,12 @@ def test_fused_dispatcher_cpu_fallback(rng):
     np.testing.assert_array_equal(
         np.asarray(knn_graph_fused(x, 8)), np.asarray(knn_graph(x, 8))
     )
+
+
+def test_fast_mode_matches_on_separated_points(rng):
+    """fast=True packs distance bits with the index; on well-separated
+    points (relative gaps >> 2^-11) it matches the exact kernel."""
+    x = jnp.asarray(rng.standard_normal((2, 256, 3)), jnp.float32)
+    exact = np.asarray(knn_pallas(x, 10, interpret=True))
+    fast = np.asarray(knn_pallas(x, 10, interpret=True, fast=True))
+    assert (exact == fast).mean() > 0.995

@@ -38,6 +38,50 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _knn_kernel_fast(rows_ref, all_ref, out_ref, val_ref, *, k: int,
+                     n_valid: int, n_pad: int, idx_bits: int):
+    """Packed-min selection: distance bits and column index share one int32.
+
+    For d >= 0 the IEEE-754 bit pattern is monotone under integer compare,
+    so ``(bits(d) & ~mask) | col`` gives min-distance-then-lowest-index in a
+    SINGLE min per round (2 VPU passes/round vs 4 for the exact kernel).
+    The low ``idx_bits`` mantissa bits of d are sacrificed — neighbors whose
+    distances agree to ~2^-(23-idx_bits) relative may swap order vs
+    ``lax.top_k``. Opt-in via ``knn_pallas(..., fast=True)``.
+    """
+    rows = rows_ref[0]
+    allp = all_ref[0]
+    d = -2.0 * jax.lax.dot_general(
+        rows, allp,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d = d + jnp.sum(jnp.square(rows.astype(jnp.float32)), axis=1, keepdims=True)
+    d = d + jnp.sum(jnp.square(allp.astype(jnp.float32)), axis=1)[None, :]
+    d = jnp.maximum(d, 0.0)
+
+    tm = d.shape[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
+    mask = (1 << idx_bits) - 1
+    bits = jax.lax.bitcast_convert_type(d, jnp.int32)
+    packed = (bits & ~mask) | col_ids
+    if n_valid < n_pad:
+        big = jnp.int32(0x7F000000)
+        packed = jnp.where(col_ids < n_valid, packed, big | col_ids)
+
+    idx_cols, val_cols = [], []
+    knocked = packed
+    for _ in range(k):
+        m = jnp.min(knocked, axis=1, keepdims=True)
+        idx = m & mask
+        idx_cols.append(idx)
+        val_cols.append(
+            jax.lax.bitcast_convert_type(m & ~mask, jnp.float32))
+        knocked = jnp.where(col_ids == idx, jnp.int32(0x7F7FFFFF), knocked)
+    out_ref[0] = jnp.concatenate(idx_cols, axis=1)
+    val_ref[0] = jnp.concatenate(val_cols, axis=1)
+
+
 def _knn_kernel(rows_ref, all_ref, out_ref, val_ref, *, k: int, n_valid: int,
                 n_pad: int):
     """One (batch, row-tile) grid step.
@@ -76,7 +120,8 @@ def _knn_kernel(rows_ref, all_ref, out_ref, val_ref, *, k: int, n_valid: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "row_tile", "interpret", "with_values")
+    jax.jit,
+    static_argnames=("k", "row_tile", "interpret", "with_values", "fast"),
 )
 def knn_pallas(
     x: jax.Array,
@@ -85,6 +130,7 @@ def knn_pallas(
     row_tile: int = 256,
     interpret: bool = False,
     with_values: bool = False,
+    fast: bool = False,
 ):
     """kNN via the fused Pallas kernel.
 
@@ -112,9 +158,15 @@ def knn_pallas(
     if (n_pad, c_pad) != (n, c):
         x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, c_pad - c)))
 
+    if fast:
+        idx_bits = max(1, (n_pad - 1).bit_length())
+        kernel = functools.partial(
+            _knn_kernel_fast, k=k, n_valid=n, n_pad=n_pad, idx_bits=idx_bits)
+    else:
+        kernel = functools.partial(_knn_kernel, k=k, n_valid=n, n_pad=n_pad)
     grid = (b, n_pad // tm)
     idx, vals = pl.pallas_call(
-        functools.partial(_knn_kernel, k=k, n_valid=n, n_pad=n_pad),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tm, c_pad), lambda bi, i: (bi, i, 0),
