@@ -26,6 +26,16 @@ def main(argv=None) -> None:
 
     ds = shapenet_data.ShapeNetDataset(data_path)
     testset = shapenet_data.ShapeNetTestSet(data_path)
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            num_classes=ds.meta.num_part_cats,
+            num_categories=ds.meta.num_categories,
+        ),
+    )
     trainer = ShapeNetTrainer(cfg, ds, None, seed=args.seed)
 
     if args.Checkpoint:

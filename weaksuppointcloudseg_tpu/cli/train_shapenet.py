@@ -27,6 +27,18 @@ def main(argv=None) -> None:
     ds = shapenet_data.ShapeNetDataset(data_path)
     num_train = ds.num_samples("train")
     num_points = ds.split("train")[0].shape[1]  # 2048 for real ShapeNet
+    # derive class/category counts from the dataset meta (16/50 for real
+    # ShapeNet; keeps synthetic/tiny datasets exact)
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            num_classes=ds.meta.num_part_cats,
+            num_categories=ds.meta.num_categories,
+        ),
+    )
 
     # SampIndex: reference .mat if present, seeded generator otherwise
     # (train_ShapeNet.py:90-96; .MISSING_LARGE_BLOBS note in SURVEY.md C19)
