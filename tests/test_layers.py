@@ -133,3 +133,26 @@ class TestModelInventory:
         assert w["seg_out"] == (256, 13)
         assert "transform_net" not in params
         assert "cat_embed" not in params
+
+
+class TestEdgeConvDecomposition:
+    def test_matches_conv_of_edge_features(self, rng):
+        """u_i + v_j decomposition == conv(concat([f_i, f_j - f_i]))."""
+        import weaksuppointcloudseg_tpu.ops.neighbors as knn_ops
+
+        b, n, c, k, c_out = 2, 64, 8, 5, 16
+        params, state = layers.init_conv(jax.random.PRNGKey(0), 2 * c, c_out)
+        f = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+        idx = knn_ops.knn_graph(f, k)
+
+        ef = knn_ops.edge_feature(f, idx)
+        want, want_state = layers.apply_conv(
+            params, state, ef, training=True, bn_decay=0.9)
+        got, got_state = layers.apply_edge_conv_first(
+            params, state, f, idx, training=True, bn_decay=0.9)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)
+        for key in ("mean", "var"):
+            np.testing.assert_allclose(np.asarray(got_state[key]),
+                                       np.asarray(want_state[key]),
+                                       rtol=1e-4, atol=1e-6)

@@ -133,14 +133,18 @@ def apply_dgcnn_seg(
     # --- EdgeConv stages (dynamic graph recomputed per stage) ---
     feat = x.astype(compute_dtype)
     graph_feat = _knn_input(x, cfg).astype(compute_dtype) if not cfg.use_transform_net else feat
+    knn_graph = (knn_ops.knn_graph_fused if cfg.use_fused_knn
+                 else knn_ops.knn_graph)
     conv_i = 1
     stage_outputs = []
     for s_i, widths in enumerate(cfg.edge_channels):
         src = graph_feat if s_i == 0 else stage_outputs[-1]
-        h = knn_ops.edge_feature_auto(
-            src, (feat if s_i == 0 else stage_outputs[-1]), cfg.k,
-            use_fused=cfg.use_fused_knn,
-        )  # [B, N, k, 2C]
+        f_in = feat if s_i == 0 else stage_outputs[-1]
+        # NOTE: the u_i + v_j first-conv decomposition
+        # (layers.apply_edge_conv_first) measured *slower* end-to-end here
+        # (218 -> 225-237 ms/step) — XLA already fuses the concat into the
+        # conv, so the edge tensor it avoids was never materialized.
+        h = knn_ops.edge_feature(f_in, knn_graph(src, cfg.k))
         for w in widths:
             name = f"adj_conv{conv_i}"
             h, new_state[name] = layers.apply_conv(params[name], state[name], h, **kw)

@@ -82,12 +82,13 @@ def apply_dgcnn_cls(
     x = jnp.einsum("bnc,bcd->bnd", x, transform,
                    preferred_element_type=jnp.float32)
 
+    knn_graph = (knn_ops.knn_graph_fused if cfg.use_fused_knn
+                 else knn_ops.knn_graph)
     feat = x
     stage_outputs = []
     for i in range(len(cfg.edge_channels)):
         name = f"dgcnn{i + 1}"
-        h = knn_ops.edge_feature_auto(feat, feat, cfg.k,
-                                      use_fused=cfg.use_fused_knn)
+        h = knn_ops.edge_feature(feat, knn_graph(feat, cfg.k))
         h, new_state[name] = layers.apply_conv(params[name], state[name], h, **kw)
         feat = jnp.max(h, axis=2)  # [B, N, C]
         stage_outputs.append(feat)

@@ -99,6 +99,43 @@ def apply_conv(
     return y, state
 
 
+def apply_edge_conv_first(
+    params: Params,
+    state: State,
+    f: jax.Array,          # [B, N, C] point features
+    idx: jax.Array,        # int32 [B, N, k] neighbor indices
+    *,
+    training: bool,
+    bn_decay=None,
+    eps: float = BN_EPS,
+) -> Tuple[jax.Array, State]:
+    """First conv of an EdgeConv stage without materializing edge features.
+
+    conv(concat([f_i, f_j - f_i])) = f_i @ W_top + (f_j - f_i) @ W_bot
+                                   = f_i @ (W_top - W_bot) + f_j @ W_bot
+    so only the C_out-channel ``v = f @ W_bot`` needs gathering — half the
+    bytes of the 2C edge tensor — and the two point-wise matmuls replace the
+    k-times-larger edge matmul (~20x fewer MXU FLOPs for C=64, k=20).
+    Identical math to conv(edge_feature(...)) up to fp reassociation;
+    BN + ReLU then run on the [B, N, k, C_out] pre-activations as before.
+    """
+    from weaksuppointcloudseg_tpu.ops.neighbors import gather_neighbors
+
+    w = params["w"].astype(f.dtype)  # [2C, C_out]
+    c = f.shape[-1]
+    w_top, w_bot = w[:c], w[c:]
+    u = jnp.einsum("...i,io->...o", f, w_top - w_bot,
+                   preferred_element_type=jnp.float32)
+    u = (u + params["b"]).astype(f.dtype)  # [B, N, C_out]
+    v = jnp.einsum("...i,io->...o", f, w_bot,
+                   preferred_element_type=jnp.float32).astype(f.dtype)
+    v_nbr = gather_neighbors(v, idx)  # [B, N, k, C_out]
+    y = u[:, :, None, :] + v_nbr
+    y, state = _batch_norm(y, params, state, training=training,
+                           decay=bn_decay, eps=eps)
+    return jax.nn.relu(y), state
+
+
 def dropout(x: jax.Array, rng, keep_prob: float, *, training: bool) -> jax.Array:
     """Inverted dropout matching tf.nn.dropout(keep_prob)."""
     if not training or keep_prob >= 1.0:
