@@ -3,7 +3,9 @@ from weaksuppointcloudseg_tpu.ops.neighbors import (
     knn,
     gather_neighbors,
     edge_feature,
+    edge_feature_auto,
     knn_graph,
+    knn_graph_fused,
 )
 from weaksuppointcloudseg_tpu.ops.schedules import (
     learning_rate_schedule,
@@ -15,7 +17,9 @@ __all__ = [
     "knn",
     "gather_neighbors",
     "edge_feature",
+    "edge_feature_auto",
     "knn_graph",
+    "knn_graph_fused",
     "learning_rate_schedule",
     "bn_decay_schedule",
 ]

@@ -226,47 +226,80 @@ class ShapeNetTrainer(_TrainerBase):
 
     def test(self, testset: shapenet_data.ShapeNetTestSet, *,
              use_label_prop: Optional[bool] = None,
-             num_points: int = 3000) -> Dict[str, float]:
+             num_points: int = 3000,
+             batch_size: Optional[int] = None) -> Dict[str, float]:
         """Held-out test with fixed-size resampling + optional LP
-        (ShapeNet_DGCNN_trainer.py:511-596)."""
+        (ShapeNet_DGCNN_trainer.py:511-596).
+
+        Unlike the reference's one-sample-at-a-time session loop, samples
+        are processed in fixed-size batches — the forward pass AND the LP
+        solve are batched on device (~batch_size x inference throughput).
+        """
         if use_label_prop is None:
             use_label_prop = self.style == "Full"
+        if batch_size is None:
+            batch_size = max(self.cfg.train.batch_size, 1)
         lp = self.cfg.labelprop
         per_data_iou = []
         shape_cnt = np.zeros(self.num_categories)
         pershape = np.zeros(self.num_categories)
         accs = []
         eval_fwd = jax.jit(
-            lambda state, x, cat: self.forward(
+            lambda state, x, cat: jax.nn.softmax(self.forward(
                 state.params, state.bn_state, x, cat,
                 training=False, bn_decay=None, rng=jax.random.PRNGKey(0),
-            )[0]
+            )[0], axis=-1)
         )
-        for i in range(len(testset)):
-            pts, seg, cat = testset[i]
-            sel = shapenet_data.resample_to_fixed(len(pts), num_points, self.np_rng)
-            x = pts[sel][None]  # [1, num_points, 3]
-            cat_onehot = onehot_encode(np.asarray([cat]), self.num_categories)
-            logits = eval_fwd(self.state, x, cat_onehot)
-            prob = np.asarray(jax.nn.softmax(logits, axis=-1))
+
+        def run_chunk(chunk):
+            """chunk: list of (pts, seg, cat) tuples; padded to batch_size."""
+            valid = len(chunk)
+            xs, sels, cats = [], [], []
+            for pts, _seg, cat in chunk:
+                sel = shapenet_data.resample_to_fixed(
+                    len(pts), num_points, self.np_rng)
+                sels.append(sel)
+                xs.append(pts[sel])
+                cats.append(cat)
+            while len(xs) < batch_size:  # pad to the compiled shape
+                xs.append(xs[0])
+                cats.append(cats[0])
+            x = np.stack(xs).astype(np.float32)
+            cat_onehot = onehot_encode(np.asarray(cats), self.num_categories)
+            prob = eval_fwd(self.state, x, cat_onehot)
             if use_label_prop:
-                prob = np.asarray(propagate_batch(
+                prob = propagate_batch(
                     x, prob,
                     alpha=lp.alpha, beta=lp.beta,
-                    xyz_bandwidth=lp.xyz_bandwidth, rgb_bandwidth=lp.rgb_bandwidth,
+                    xyz_bandwidth=lp.xyz_bandwidth,
+                    rgb_bandwidth=lp.rgb_bandwidth,
                     ridge=lp.ridge, solver=lp.solver, cg_iters=lp.cg_iters,
-                ))
-            # keep only original (unduplicated) points
-            keep = np.arange(min(len(pts), num_points))
-            prob_orig = prob[0][keep]
-            seg_orig = seg[sel][keep]
-            oids = self.meta.iou_oids(cat)
-            pred = category_biased_argmax(prob_orig, oids)
-            iou = eval_iou(pred, seg_orig, oids)
-            per_data_iou.append(iou)
-            accs.append(float(np.mean(pred == seg_orig)))
-            pershape[cat] = (pershape[cat] * shape_cnt[cat] + iou) / (shape_cnt[cat] + 1)
-            shape_cnt[cat] += 1
+                )
+            prob = np.asarray(prob)
+            for b_i in range(valid):
+                pts, seg, cat = chunk[b_i]
+                sel = sels[b_i]
+                # keep only original (unduplicated) points
+                keep = np.arange(min(len(pts), num_points))
+                prob_orig = prob[b_i][keep]
+                seg_orig = seg[sel][keep]
+                oids = self.meta.iou_oids(cat)
+                pred = category_biased_argmax(prob_orig, oids)
+                iou = eval_iou(pred, seg_orig, oids)
+                per_data_iou.append(iou)
+                accs.append(float(np.mean(pred == seg_orig)))
+                pershape[cat] = (
+                    pershape[cat] * shape_cnt[cat] + iou) / (shape_cnt[cat] + 1)
+                shape_cnt[cat] += 1
+
+        chunk = []
+        for i in range(len(testset)):
+            chunk.append(testset[i])
+            if len(chunk) == batch_size:
+                run_chunk(chunk)
+                chunk = []
+        if chunk:
+            run_chunk(chunk)
         seen = shape_cnt > 0
         return {
             "perdata_miou": float(np.mean(per_data_iou)),
