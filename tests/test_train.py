@@ -176,3 +176,11 @@ class TestDataParallel:
         m8 = tr8.train_epoch()
         assert m1["seg"] == pytest.approx(m8["seg"], rel=2e-3)
         assert m1["acc"] == pytest.approx(m8["acc"], rel=2e-3)
+
+    def test_s3dis_mesh_training(self, s3dis_dir):
+        """S3DIS Full-style step over the 8-device mesh."""
+        cfg = tiny_s3dis_cfg("Full", batch_size=8)  # 16 rows over 8 devices
+        ds = s3dis.S3DISDataset(s3dis_dir)
+        tr = S3DISTrainer(cfg, ds, None, test_area=5, seed=0, num_devices=8)
+        m = tr.train_epoch()
+        assert np.isfinite(m["total"])
