@@ -153,6 +153,12 @@ class ShapeNetTrainer(_TrainerBase):
         self.pts_idx = pts_idx_list  # [num_train_samples, n_labelled] or None
         self.num_classes = cfg.model.num_classes
         self.num_categories = cfg.model.num_categories
+        # category -> its part ids, as a binary [num_categories, num_classes]
+        # matrix (for the reference's category-biased train argmax)
+        self._cat_part_mask = np.zeros(
+            (self.num_categories, self.num_classes), np.float32)
+        for c in range(min(self.num_categories, len(self.meta.objcats))):
+            self._cat_part_mask[c, self.meta.iou_oids(c)] = 1.0
 
     # -- batch assembly ---------------------------------------------------
 
@@ -175,12 +181,14 @@ class ShapeNetTrainer(_TrainerBase):
             valid = augment.interleave_duplicate(valid)
         else:
             seg, label = b.seg, b.label
+        cat_onehot = onehot_encode(label, self.num_categories)
         return {
             "data": data.astype(np.float32),
             "seg": seg.astype(np.int32),
             "seg_onehot": onehot_encode(seg, self.num_classes),
             "mask": mask,
-            "cat_onehot": onehot_encode(label, self.num_categories),
+            "cat_onehot": cat_onehot,
+            "part_bias": cat_onehot @ self._cat_part_mask,
             "valid": valid,
         }
 

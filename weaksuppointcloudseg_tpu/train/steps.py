@@ -86,9 +86,16 @@ def _loss_fn(params, bn_state, batch, *, cfg, style, bn_decay, gate, rng):
     return total, (components, new_bn_state, logits)
 
 
-def _accuracy(logits, seg_labels, valid_mask):
-    """Fraction of correctly classified points over valid samples."""
-    pred = jnp.argmax(logits, axis=-1)
+def _accuracy(logits, seg_labels, valid_mask, part_bias=None):
+    """Fraction of correctly classified points over valid samples.
+
+    ``part_bias`` [B, K] (1.0 on the shape category's part ids) reproduces
+    the reference's category-biased train argmax — Z_prob[:, iou_oids] += 1
+    before argmax (ShapeNet_DGCNN_trainer.py:199-201)."""
+    prob = jax.nn.softmax(logits, axis=-1)
+    if part_bias is not None:
+        prob = prob + part_bias[:, None, :]
+    pred = jnp.argmax(prob, axis=-1)
     correct = (pred == seg_labels).astype(jnp.float32) * valid_mask[:, None]
     return jnp.sum(correct) / jnp.maximum(
         jnp.sum(valid_mask) * seg_labels.shape[1], 1.0
@@ -128,7 +135,9 @@ def make_train_step(cfg: ExperimentConfig, style: Optional[str] = None) -> Calla
         metrics = dict(components)
         metrics["lr"] = lr
         metrics["bn_decay"] = bn_decay
-        metrics["acc"] = _accuracy(logits, batch["seg"], batch["valid"])
+        metrics["acc"] = _accuracy(
+            logits, batch["seg"], batch["valid"], batch.get("part_bias")
+        )
         return new_state, metrics
 
     return train_step
