@@ -7,6 +7,9 @@ from weaksuppointcloudseg_tpu.propagate.label_prop import (
     label_propagation,
     propagate_batch,
 )
+from weaksuppointcloudseg_tpu.propagate.sharded import (
+    label_propagation_sharded,
+)
 
 __all__ = [
     "product_kernel_weights",
@@ -14,4 +17,5 @@ __all__ = [
     "entropy_confidence",
     "label_propagation",
     "propagate_batch",
+    "label_propagation_sharded",
 ]
