@@ -11,7 +11,7 @@ from weaksuppointcloudseg_tpu.ops.scatter_pallas import scatter_add_pallas
 def test_matches_xla_scatter(rng, b, n, k, c):
     idx = jnp.asarray(rng.integers(0, n, (b, n, k)), jnp.int32)
     g = jnp.asarray(rng.standard_normal((b, n, k, c)), jnp.float32)
-    got = np.asarray(scatter_add_pallas(idx, g, n, tile_flat=128,
+    got = np.asarray(scatter_add_pallas(idx, g, n, tile_rows=128,
                                         interpret=True))
     want = np.zeros((b, n, c), np.float32)
     for bi in range(b):
@@ -24,7 +24,7 @@ def test_matches_xla_scatter(rng, b, n, k, c):
 def test_duplicate_targets_accumulate(rng):
     idx = jnp.zeros((1, 16, 4), jnp.int32)  # everything scatters to row 0
     g = jnp.ones((1, 16, 4, 8), jnp.float32)
-    out = np.asarray(scatter_add_pallas(idx, g, 16, tile_flat=64,
+    out = np.asarray(scatter_add_pallas(idx, g, 16, tile_rows=8,
                                         interpret=True))
     np.testing.assert_allclose(out[0, 0], 64.0)
     np.testing.assert_allclose(out[0, 1:], 0.0)

@@ -119,7 +119,8 @@ def apply_dgcnn_seg(
     if cfg.use_transform_net:
         g = _knn_input(x, cfg)
         ef = knn_ops.edge_feature_auto(
-            g, g.astype(compute_dtype), cfg.k, use_fused=cfg.use_fused_knn
+            g, g.astype(compute_dtype), cfg.k,
+            use_fused=cfg.use_fused_knn, fast=cfg.knn_fast,
         )
         transform, new_state["transform_net"] = apply_transform_net(
             params["transform_net"], state["transform_net"], ef,
@@ -133,8 +134,6 @@ def apply_dgcnn_seg(
     # --- EdgeConv stages (dynamic graph recomputed per stage) ---
     feat = x.astype(compute_dtype)
     graph_feat = _knn_input(x, cfg).astype(compute_dtype) if not cfg.use_transform_net else feat
-    knn_graph = (knn_ops.knn_graph_fused if cfg.use_fused_knn
-                 else knn_ops.knn_graph)
     conv_i = 1
     stage_outputs = []
     for s_i, widths in enumerate(cfg.edge_channels):
@@ -143,8 +142,12 @@ def apply_dgcnn_seg(
         # NOTE: the u_i + v_j first-conv decomposition
         # (layers.apply_edge_conv_first) measured *slower* end-to-end here
         # (218 -> 225-237 ms/step) — XLA already fuses the concat into the
-        # conv, so the edge tensor it avoids was never materialized.
-        h = knn_ops.edge_feature(f_in, knn_graph(src, cfg.k))
+        # conv, so the edge tensor it avoids was never materialized. The
+        # real win was fusing the gather into the kNN selection loop
+        # (ops/edgeconv_pallas.py; dispatched by edge_feature_auto).
+        h = knn_ops.edge_feature_auto(
+            src, f_in, cfg.k, use_fused=cfg.use_fused_knn, fast=cfg.knn_fast
+        )
         for w in widths:
             name = f"adj_conv{conv_i}"
             h, new_state[name] = layers.apply_conv(params[name], state[name], h, **kw)

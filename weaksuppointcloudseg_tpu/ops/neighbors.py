@@ -135,19 +135,30 @@ def knn_graph(x: jax.Array, k: int) -> jax.Array:
 
 
 def edge_feature_auto(g: jax.Array, f: jax.Array, k: int,
-                      use_fused: bool = True) -> jax.Array:
+                      use_fused: bool = True, fast: bool = False) -> jax.Array:
     """EdgeConv edge features concat([f_i, f_j - f_i]) with the graph built
-    on ``g``. On TPU with ``use_fused`` the kNN selection runs through the
-    fused Pallas distance+top-k kernel and the gather stays in XLA — the
-    measured fastest mix (the fully fused gather-as-one-hot-matmul variant in
-    ops/edgeconv_pallas.py is ~25% slower end-to-end at B=64, N=2048: XLA's
-    gather beats the MXU one-hot matmul at k=20)."""
+    on ``g``. On TPU with ``use_fused`` and bf16 features the whole front
+    half runs through one fused Pallas kernel (distance + top-k + gather,
+    ops/edgeconv_pallas.py) — the selection loop's winner masks double as
+    the gather one-hots, so the standalone gather's ~10 ms of mask
+    construction disappears (22.9 -> 13.4 ms per call at B=64, N=2048,
+    C=64, bit-identical outputs). f32 features keep the fused kNN + XLA
+    gather (the in-kernel MXU gather would round f32 operands).
+
+    ``fast`` selects packed-min top-k (near-ties may reorder, 98.7-99.7%
+    index agreement — see ops/knn_pallas.py)."""
     if use_fused and jax.default_backend() in ("tpu", "axon"):
-        return edge_feature(f, knn_graph_fused(g, k))
+        if f.dtype == jnp.bfloat16:
+            from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import (
+                edge_feature_fused,
+            )
+
+            return edge_feature_fused(g, f, k, fast=fast)
+        return edge_feature(f, knn_graph_fused(g, k, fast=fast))
     return edge_feature(f, knn_graph(g, k))
 
 
-def knn_graph_fused(x: jax.Array, k: int) -> jax.Array:
+def knn_graph_fused(x: jax.Array, k: int, fast: bool = False) -> jax.Array:
     """kNN graph via the fused Pallas kernel on TPU (6-11x faster than the
     XLA dist+top_k at N=2048-4096); identical indices. Falls back to the XLA
     path on non-TPU backends (CPU tests, virtual meshes)."""
@@ -156,5 +167,5 @@ def knn_graph_fused(x: jax.Array, k: int) -> jax.Array:
 
         # int32 indices carry no gradient; stop_gradient keeps autodiff
         # linearization from trying to differentiate through pallas_call.
-        return knn_pallas(jax.lax.stop_gradient(x), k)
+        return knn_pallas(jax.lax.stop_gradient(x), k, fast=fast)
     return knn_graph(x, k)

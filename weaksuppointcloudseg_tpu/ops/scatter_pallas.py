@@ -1,14 +1,24 @@
 """Pallas scatter-add: the backward of the neighbor gather, as MXU matmuls.
 
 XLA's scatter-add for the gather cotangent ([B, N, k, C] -> [B, N, C])
-costs ~50 ms at B=64, N=2048, k=20, C=64 on v5e. Expressing it as
-one-hot^T @ G — one MXU matmul per row tile, accumulated into a revisited
-output block — runs in ~20 ms. The one-hot matrix lives only in VMEM.
+costs ~44-50 ms at B=64, N=2048, k=20, C=64 on v5e. Expressing it as
+one-hot^T @ G — MXU matmuls with the one-hot built in VMEM — cuts that to
+~11 ms.
 
-Numerics: the MXU's default f32 path rounds operands to bf16 (rel ~2e-3) and
-sums the k contributions in matmul order instead of scatter order. That is
-well inside gradient-noise tolerance, so this kernel backs only the VJP;
-forward gathers keep XLA's exact path (ops/neighbors.py).
+Layout matters: the kernel is *round-major* — the grid runs over
+(batch, point-tile) and the k neighbor slots are unrolled inside the
+kernel, one [TM, N] one-hot compare + one MXU matmul per slot,
+accumulated into a revisited [N, C] output block. Versus the flat
+(point*slot)-row layout this triples the rows per grid step (64 x 4 steps
+instead of 64 x 40 at the flagship shape) and was measured 20.7 -> 11.1 ms
+— the flat layout's cost was dominated by per-step overhead and one-hot
+construction passes, not the matmul.
+
+Numerics: the MXU rounds matmul operands (bf16 and f32 paths measured
+equal speed here — the kernel is construction/overhead-bound), and the k
+contributions sum in matmul order instead of scatter order (~2e-3
+relative). Only the VJP uses this kernel; forward gathers keep an exact
+path (ops/neighbors.py, ops/edgeconv_pallas.py).
 """
 
 from __future__ import annotations
@@ -25,65 +35,74 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _scatter_kernel(idx_ref, g_ref, out_ref, *, n_pad: int):
+def _scatter_kernel(idx_ref, ct_ref, out_ref, *, n_pad: int, k: int, c: int,
+                    op_dtype):
     i = pl.program_id(1)
-    idx = idx_ref[0]  # [TMF, 1] int32 (flattened point*k rows)
-    g = g_ref[0]      # [TMF, C]
-    tmf = idx.shape[0]
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tmf, n_pad), 1)
-    # f32 operands (explicit bf16 measured no faster and costs one mantissa
-    # step of gradient precision); accumulation is f32 either way
-    onehot = (col_ids == idx).astype(jnp.float32)
-    contrib = jax.lax.dot_general(
-        onehot, g.astype(jnp.float32),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    idxt = idx_ref[0]   # [TM, k] int32 target rows
+    ct = ct_ref[0]      # [TM, k*C] contributions, slot-major lanes
+    tm = idxt.shape[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
 
     @pl.when(i == 0)
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    out_ref[0] += contrib.astype(out_ref.dtype)
+    acc = jnp.zeros_like(out_ref[0])
+    for j in range(k):
+        onehot = (col_ids == idxt[:, j:j + 1]).astype(op_dtype)
+        contrib = jax.lax.dot_general(
+            onehot, ct[:, j * c:(j + 1) * c].astype(op_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + contrib.astype(out_ref.dtype)
+    out_ref[0] += acc
 
 
-@functools.partial(jax.jit, static_argnames=("n", "tile_flat", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("n", "tile_rows", "interpret", "op_dtype")
+)
 def scatter_add_pallas(
-    idx: jax.Array,      # int32 [B, N, k] target rows
-    g: jax.Array,        # [B, N, k, C] contributions
+    idx: jax.Array,      # int32 [B, P, k] target rows
+    g: jax.Array,        # [B, P, k, C] contributions
     n: int,              # number of output rows
     *,
-    tile_flat: int = 2048,
+    tile_rows: int = 512,
     interpret: bool = False,
+    op_dtype=jnp.float32,
 ) -> jax.Array:
-    """out[b, idx[b, p, j]] += g[b, p, j] -> [B, n, C]."""
-    b, np_, k = idx.shape
+    """out[b, idx[b, p, j]] += g[b, p, j] -> [B, n, C].
+
+    ``op_dtype`` sets the matmul operand precision (accumulation is always
+    f32; measured speed is identical — the kernel is bound by one-hot
+    construction, not the MXU).
+    """
+    b, p, k = idx.shape
     c = g.shape[-1]
-    nk = np_ * k
-    idx_f = idx.reshape(b, nk, 1)
-    g_f = g.reshape(b, nk, c)
     n_pad = _round_up(n, 128)
-    # the one-hot tile is [tile_flat, n_pad] f32 in VMEM; cap it at ~4 MB
-    # so N=4096 clouds fit the 16 MB scoped-vmem budget
-    tile_flat = max(256, min(tile_flat, (4 << 20) // (4 * n_pad)))
-    nk_pad = _round_up(nk, tile_flat)
-    if nk_pad != nk:
-        # pad targets out of range -> padded rows contribute nowhere
-        idx_f = jnp.pad(idx_f, ((0, 0), (0, nk_pad - nk), (0, 0)),
+    # [TM, n_pad] int32 iota + transient mask in VMEM; cap at ~4 MB
+    tm = max(8, min(tile_rows, (4 << 20) // (4 * n_pad)))
+    p_pad = _round_up(p, tm)
+    idx_r = idx
+    g_r = g.reshape(b, p, k * c)
+    if p_pad != p:
+        # out-of-range targets (n_pad) match no output column -> no-op rows
+        idx_r = jnp.pad(idx_r, ((0, 0), (0, p_pad - p), (0, 0)),
                         constant_values=n_pad)
-        g_f = jnp.pad(g_f, ((0, 0), (0, nk_pad - nk), (0, 0)))
+        g_r = jnp.pad(g_r, ((0, 0), (0, p_pad - p), (0, 0)))
     out = pl.pallas_call(
-        functools.partial(_scatter_kernel, n_pad=n_pad),
-        grid=(b, nk_pad // tile_flat),
+        functools.partial(
+            _scatter_kernel, n_pad=n_pad, k=k, c=c, op_dtype=op_dtype),
+        grid=(b, p_pad // tm),
         in_specs=[
-            pl.BlockSpec((1, tile_flat, 1), lambda bi, i: (bi, i, 0),
+            pl.BlockSpec((1, tm, k), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_flat, c), lambda bi, i: (bi, i, 0),
+            pl.BlockSpec((1, tm, k * c), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, n_pad, c), lambda bi, i: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, c), g.dtype),
         interpret=interpret,
-    )(idx_f, g_f)
+    )(idx_r, g_r)
     return out[:, :n]
