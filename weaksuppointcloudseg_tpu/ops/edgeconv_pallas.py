@@ -27,6 +27,10 @@ bits and column index share one int32; 1 min/round instead of 2 reduction
 passes) at the cost of the low mantissa bits — near-ties may reorder vs
 ``lax.top_k`` (98.7-99.7% index agreement at the flagship shapes).
 
+``with_values=True`` additionally emits the selected squared distances
+(f32) — the smoothness loss consumes exp(-d/gamma) weights
+(Util/SmoothConstraint.py:154-158); values carry no gradient.
+
 Gradients: selection is non-differentiable; neighbor features are linear in
 F, so the custom VJP scatter-adds the cotangent back through the saved
 indices (round-major Pallas scatter on TPU, ops/scatter_pallas.py). The
@@ -51,12 +55,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel_exact(g_rows_ref, g_all_ref, f_all_ref, idx_ref, nbr_ref,
-                  *, k: int, n_valid: int, n_pad: int):
-    g_rows = g_rows_ref[0]  # [TM, Cgp]
-    g_all = g_all_ref[0]    # [Np, Cgp]
-    f_all = f_all_ref[0]    # [Np, Cf]
-
+def _distance_tile(g_rows, g_all):
     d = -2.0 * jax.lax.dot_general(
         g_rows, g_all,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -65,6 +64,15 @@ def _kernel_exact(g_rows_ref, g_all_ref, f_all_ref, idx_ref, nbr_ref,
     d = d + jnp.sum(jnp.square(g_rows.astype(jnp.float32)), axis=1,
                     keepdims=True)
     d = d + jnp.sum(jnp.square(g_all.astype(jnp.float32)), axis=1)[None, :]
+    return d
+
+
+def _kernel_exact(g_rows_ref, g_all_ref, f_all_ref, idx_ref, nbr_ref,
+                  val_ref, *, k: int, n_valid: int, n_pad: int):
+    g_rows = g_rows_ref[0]  # [TM, Cgp]
+    g_all = g_all_ref[0]    # [Np, Cgp]
+    f_all = f_all_ref[0]    # [Np, Cf]
+    d = _distance_tile(g_rows, g_all)
 
     tm = d.shape[0]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
@@ -73,7 +81,7 @@ def _kernel_exact(g_rows_ref, g_all_ref, f_all_ref, idx_ref, nbr_ref,
 
     # k rounds of (min, lowest-index tie-break, gather via winner mask,
     # knock out the winner) — identical ordering to jax.lax.top_k(-d, k).
-    idx_cols, nbr_slabs = [], []
+    idx_cols, nbr_slabs, val_cols = [], [], []
     for _ in range(k):
         m = jnp.min(d, axis=1, keepdims=True)
         idx = jnp.min(jnp.where(d == m, col_ids, n_pad), axis=1,
@@ -86,28 +94,23 @@ def _kernel_exact(g_rows_ref, g_all_ref, f_all_ref, idx_ref, nbr_ref,
         ).astype(f_all.dtype)
         idx_cols.append(idx)
         nbr_slabs.append(nbr)
+        val_cols.append(m)
         d = jnp.where(sel, jnp.inf, d)
 
     idx_ref[0] = jnp.concatenate(idx_cols, axis=1)
     nbr_ref[0] = jnp.concatenate(nbr_slabs, axis=1)  # [TM, k*Cf]
+    if val_ref is not None:
+        val_ref[0] = jnp.concatenate(val_cols, axis=1)
 
 
 def _kernel_fast(g_rows_ref, g_all_ref, f_all_ref, idx_ref, nbr_ref,
-                 *, k: int, n_valid: int, n_pad: int, idx_bits: int):
+                 val_ref, *, k: int, n_valid: int, n_pad: int,
+                 idx_bits: int):
     """Packed-min selection (see ops/knn_pallas.py::_knn_kernel_fast)."""
     g_rows = g_rows_ref[0]
     g_all = g_all_ref[0]
     f_all = f_all_ref[0]
-
-    d = -2.0 * jax.lax.dot_general(
-        g_rows, g_all,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    d = d + jnp.sum(jnp.square(g_rows.astype(jnp.float32)), axis=1,
-                    keepdims=True)
-    d = d + jnp.sum(jnp.square(g_all.astype(jnp.float32)), axis=1)[None, :]
-    d = jnp.maximum(d, 0.0)  # packed order needs d >= 0
+    d = jnp.maximum(_distance_tile(g_rows, g_all), 0.0)  # packed needs d>=0
 
     tm = d.shape[0]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
@@ -118,7 +121,7 @@ def _kernel_fast(g_rows_ref, g_all_ref, f_all_ref, idx_ref, nbr_ref,
         big = jnp.int32(0x7F000000)
         packed = jnp.where(col_ids < n_valid, packed, big | col_ids)
 
-    idx_cols, nbr_slabs = [], []
+    idx_cols, nbr_slabs, val_cols = [], [], []
     for _ in range(k):
         m = jnp.min(packed, axis=1, keepdims=True)
         idx = m & mask
@@ -130,19 +133,23 @@ def _kernel_fast(g_rows_ref, g_all_ref, f_all_ref, idx_ref, nbr_ref,
         ).astype(f_all.dtype)
         idx_cols.append(idx)
         nbr_slabs.append(nbr)
+        val_cols.append(jax.lax.bitcast_convert_type(m & ~mask, jnp.float32))
         packed = jnp.where(sel, jnp.int32(0x7F7FFFFF), packed)
 
     idx_ref[0] = jnp.concatenate(idx_cols, axis=1)
     nbr_ref[0] = jnp.concatenate(nbr_slabs, axis=1)
+    if val_ref is not None:
+        val_ref[0] = jnp.concatenate(val_cols, axis=1)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "row_tile", "interpret", "fast")
+    jax.jit,
+    static_argnames=("k", "row_tile", "interpret", "fast", "with_values"),
 )
 def _knn_gather_fwd_impl(
     g: jax.Array, f: jax.Array, k: int, row_tile: int, interpret: bool,
-    fast: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
+    fast: bool = False, with_values: bool = False,
+):
     b, n, cg = g.shape
     cf = f.shape[-1]
     # Pad the gathered-feature channel to a sublane multiple — the in-kernel
@@ -168,34 +175,48 @@ def _knn_gather_fwd_impl(
     else:
         kernel = functools.partial(
             _kernel_exact, k=k, n_valid=n, n_pad=n_pad)
+    if not with_values:
+        kernel = functools.partial(kernel, val_ref=None)
+
+    block_in = [
+        pl.BlockSpec((1, tm, cg_pad), lambda bi, i: (bi, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_pad, cg_pad), lambda bi, i: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_pad, cf_pad), lambda bi, i: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, tm, k), lambda bi, i: (bi, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tm, k * cf_pad), lambda bi, i: (bi, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, n_pad, k), jnp.int32),
+        jax.ShapeDtypeStruct((b, n_pad, k * cf_pad), f.dtype),
+    ]
+    if with_values:
+        out_specs.append(
+            pl.BlockSpec((1, tm, k), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, n_pad, k), jnp.float32))
 
     grid = (b, n_pad // tm)
-    idx, nbr = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, tm, cg_pad), lambda bi, i: (bi, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, cg_pad), lambda bi, i: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, cf_pad), lambda bi, i: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, tm, k), lambda bi, i: (bi, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tm, k * cf_pad), lambda bi, i: (bi, i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, n_pad, k), jnp.int32),
-            jax.ShapeDtypeStruct((b, n_pad, k * cf_pad), f.dtype),
-        ),
+        in_specs=block_in,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(g, g, f)
+    idx, nbr = outs[0], outs[1]
     nbr = nbr[:, :n].reshape(b, n, k, cf_pad)
     if cf_pad != cf:
         nbr = nbr[..., :cf]
+    if with_values:
+        return idx[:, :n], nbr, outs[2][:, :n]
     return idx[:, :n], nbr
 
 
@@ -228,23 +249,54 @@ def _knn_gather_fwd(g, f, k, row_tile, interpret, fast):
     return (idx, nbr), (idx, jnp.zeros_like(g), jnp.zeros_like(f))
 
 
-def _knn_gather_bwd(k, row_tile, interpret, fast, res, cts):
-    idx, g_zeros, f_zeros = res
-    _, g_nbr = cts  # cotangent of the neighbor features [B, N, k, Cf]
+def _scatter_back(idx, g_nbr, f_zeros, interpret):
     b, n, _ = f_zeros.shape
     if not interpret and jax.default_backend() in ("tpu", "axon"):
         from weaksuppointcloudseg_tpu.ops.scatter_pallas import (
             scatter_add_pallas,
         )
 
-        df = scatter_add_pallas(idx, g_nbr.astype(f_zeros.dtype), n)
-    else:
-        bidx = jnp.arange(b)[:, None, None]
-        df = f_zeros.at[bidx, idx].add(g_nbr.astype(f_zeros.dtype))
+        return scatter_add_pallas(idx, g_nbr.astype(f_zeros.dtype), n)
+    bidx = jnp.arange(b)[:, None, None]
+    return f_zeros.at[bidx, idx].add(g_nbr.astype(f_zeros.dtype))
+
+
+def _knn_gather_bwd(k, row_tile, interpret, fast, res, cts):
+    idx, g_zeros, f_zeros = res
+    _, g_nbr = cts  # cotangent of the neighbor features [B, N, k, Cf]
+    df = _scatter_back(idx, g_nbr, f_zeros, interpret)
     return (g_zeros, df)  # selection is non-differentiable -> zero dg
 
 
 knn_gather.defvjp(_knn_gather_fwd, _knn_gather_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def knn_gather_with_sqdist(g, f, k: int, row_tile: int = 256,
+                           interpret: bool = False, fast: bool = False):
+    """As ``knn_gather`` but also returns the selected squared distances
+    (f32 [B, N, k], gradient-free) — one fused kernel for the smoothness
+    loss's weights + neighbor gather (Util/SmoothConstraint.py:140-158)."""
+    return _knn_gather_fwd_impl(
+        jax.lax.stop_gradient(g), jax.lax.stop_gradient(f), k, row_tile,
+        interpret, fast, with_values=True)
+
+
+def _knn_gather_ws_fwd(g, f, k, row_tile, interpret, fast):
+    idx, nbr, vals = _knn_gather_fwd_impl(
+        jax.lax.stop_gradient(g), jax.lax.stop_gradient(f), k, row_tile,
+        interpret, fast, with_values=True)
+    return (idx, nbr, vals), (idx, jnp.zeros_like(g), jnp.zeros_like(f))
+
+
+def _knn_gather_ws_bwd(k, row_tile, interpret, fast, res, cts):
+    idx, g_zeros, f_zeros = res
+    _, g_nbr, _ = cts
+    df = _scatter_back(idx, g_nbr, f_zeros, interpret)
+    return (g_zeros, df)
+
+
+knn_gather_with_sqdist.defvjp(_knn_gather_ws_fwd, _knn_gather_ws_bwd)
 
 
 def edge_feature_fused(g: jax.Array, f: jax.Array, k: int,

@@ -73,6 +73,9 @@ def _loss_fn(params, bn_state, batch, *, cfg, style, bn_decay, gate, rng):
         loss_smooth = smooth_knn_laplacian(
             prob, batch["data"], gamma=w.smooth_gamma, k=w.smooth_knn,
             channels=w.smooth_channels,
+            # bf16 compute configs run the fused distance+top-k+prob-gather
+            # kernel (neighbor probs round to bf16; weights stay f32)
+            fused_bf16=(jnp.dtype(cfg.model.compute_dtype) == jnp.bfloat16),
         )
         if w.compat_frozen_gate:
             gate = jnp.zeros_like(gate)
