@@ -99,7 +99,6 @@ class TestS3DIS:
         for b in ds.batches(train_idx, 3):
             assert b.data.shape == (3, 64, 9)
             assert b.seg.shape == (3, 64)
-            assert b.weak_seg_onehot.shape == (3, 13)
 
     def test_room_to_blocks_semantics(self, rng):
         # one dense 1m x 1m corner + sparse far corner that gets filtered

@@ -98,6 +98,43 @@ class TestShapeNetTraining:
         assert 0 <= res["perdata_miou"] <= 1
         assert 0 <= res["accuracy"] <= 1
 
+    def test_cover_partition_covers_every_point(self):
+        rng = np.random.default_rng(0)
+        for n, target in ((40, 64), (64, 64), (150, 64), (129, 64)):
+            views = shapenet.cover_partition(n, target, rng)
+            assert all(len(v) == target for v in views)
+            assert len(views) == max(1, -(-n // target))
+            covered = np.unique(np.concatenate(views))
+            np.testing.assert_array_equal(covered, np.arange(n))
+            if n <= target:  # original points first (reference slice trick)
+                np.testing.assert_array_equal(views[0][:n], np.arange(n))
+
+    def test_large_shapes_fully_scored(self, shapenet_dir):
+        """Shapes with more points than the inference size (quirk Q3 —
+        crashes the reference) are split into covering views and every
+        original point is scored."""
+        cfg = tiny_shapenet_cfg("Plain")
+        ds = shapenet.ShapeNetDataset(shapenet_dir)
+        tr = ShapeNetTrainer(cfg, ds, None, seed=0)
+        ts = shapenet.ShapeNetTestSet(shapenet_dir)
+        assert any(len(ts[i][0]) > 32 for i in range(len(ts)))
+        res = tr.test(ts, num_points=32, use_label_prop=True)
+        assert 0 <= res["perdata_miou"] <= 1
+        assert 0 <= res["accuracy"] <= 1
+
+    def test_eval_loss_unbiased_by_tail_padding(self, shapenet_dir):
+        """The padded tail batch must not bias the validation loss: a batch
+        size that divides the val set and one that leaves a ragged tail
+        must produce the same (valid-weighted) loss."""
+        ds = shapenet.ShapeNetDataset(shapenet_dir)
+        tr4 = ShapeNetTrainer(tiny_shapenet_cfg("Plain", batch_size=4),
+                              ds, None, seed=0)
+        tr3 = ShapeNetTrainer(tiny_shapenet_cfg("Plain", batch_size=3),
+                              ds, None, seed=0)
+        loss4 = tr4.evaluate()[0]  # 4 val samples: one exact batch
+        loss3 = tr3.evaluate()[0]  # batches of 3 + ragged tail of 1
+        assert loss4 == pytest.approx(loss3, rel=1e-5)
+
     def test_checkpoint_roundtrip(self, shapenet_dir, tmp_path):
         cfg = tiny_shapenet_cfg("Plain")
         ds = shapenet.ShapeNetDataset(shapenet_dir)

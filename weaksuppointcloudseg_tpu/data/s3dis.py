@@ -50,7 +50,6 @@ def weak_class_onehot(seg: np.ndarray, num_classes: int = NUM_CLASSES) -> np.nda
 class Batch:
     data: np.ndarray  # [B, N, 9]
     seg: np.ndarray  # [B, N]
-    weak_seg_onehot: np.ndarray  # [B, num_classes]
     sample_ids: np.ndarray  # [B] global block index
     valid: int
 
@@ -122,7 +121,6 @@ class S3DISDataset:
             yield Batch(
                 data=self.data[idx],
                 seg=seg,
-                weak_seg_onehot=weak_class_onehot(seg, self.num_classes),
                 sample_ids=idx,
                 valid=valid,
             )

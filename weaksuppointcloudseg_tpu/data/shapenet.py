@@ -123,6 +123,32 @@ def resample_to_fixed(
     return np.concatenate([np.arange(n_points), extra])
 
 
+def cover_partition(
+    n_points: int, target: int, rng: np.random.Generator
+) -> list:
+    """Fixed-size index views whose union covers EVERY original point.
+
+    <= target points: one duplicate-padded view, original points first (the
+    reference's duplicate-then-slice trick,
+    ShapeNet_DGCNN_trainer.py:530-535).
+    >  target points: ceil(n/target) views of one random permutation, the
+    last padded with already-covered indices. (The reference crashes on
+    such shapes — quirk Q3; scoring every original point is the sound fix,
+    where ``resample_to_fixed`` alone would score a subsample only.)
+    """
+    if n_points <= target:
+        return [resample_to_fixed(n_points, target, rng)]
+    perm = rng.permutation(n_points)
+    views = []
+    for s in range(0, n_points, target):
+        chunk = perm[s:s + target]
+        if len(chunk) < target:
+            pad = rng.choice(s, target - len(chunk), replace=False)
+            chunk = np.concatenate([chunk, perm[pad]])
+        views.append(chunk)
+    return views
+
+
 @dataclasses.dataclass
 class Batch:
     """One fixed-shape training/eval batch."""
@@ -130,7 +156,6 @@ class Batch:
     data: np.ndarray  # [B, N, 3]
     label: np.ndarray  # [B] category index
     seg: np.ndarray  # [B, N] part labels
-    weak_seg_onehot: np.ndarray  # [B, num_part_cats]
     sample_ids: np.ndarray  # [B] global sample index (for SampIndex masks)
     valid: int  # number of real (non-padding) samples
 
@@ -192,7 +217,6 @@ class ShapeNetDataset:
                 data=data[idx],
                 label=label[idx],
                 seg=seg[idx],
-                weak_seg_onehot=weak_category_onehot(seg[idx], self.meta.num_part_cats),
                 sample_ids=idx,
                 valid=valid,
             )

@@ -172,6 +172,9 @@ class ShapeNetTrainer(_TrainerBase):
         data = b.data
         valid = np.zeros(b.data.shape[0], np.float32)
         valid[: b.valid] = 1.0
+        # padded tail rows must not contribute to the masked-CE denominator
+        # (the eval loss would otherwise average duplicate samples in)
+        mask = mask * valid[:, None]
         if siamese:
             aug = augment.shapenet_augment if augment_pairs else None
             data = augment.make_siamese_batch(data, self.np_rng, aug)
@@ -207,7 +210,7 @@ class ShapeNetTrainer(_TrainerBase):
     def evaluate(self) -> Tuple[float, float, float, np.ndarray]:
         """Validation pass. Returns (loss, acc, perdata_miou, pershape_miou
         [num_categories]) matching EvalOneEpoch_Full (:421-507)."""
-        losses, accs, ious = [], [], []
+        losses, loss_w, accs, ious = [], [], [], []
         shape_cnt = np.zeros(self.num_categories)
         pershape = np.zeros(self.num_categories)
         for b in self.ds.batches("val", self.cfg.train.batch_size):
@@ -215,7 +218,11 @@ class ShapeNetTrainer(_TrainerBase):
                                    full_mask=True)
             prob, loss = self.eval_step(self.state, self._put(batch, pairs=False))
             prob = np.asarray(prob)[: b.valid]
+            # the step's masked CE already excludes padded rows (zeroed
+            # mask); weight by valid count so the tail batch isn't
+            # over-represented in the epoch average
             losses.append(float(loss))
+            loss_w.append(b.valid)
             for b_i in range(b.valid):
                 cat = int(b.label[b_i])
                 oids = self.meta.iou_oids(cat)
@@ -226,7 +233,7 @@ class ShapeNetTrainer(_TrainerBase):
                 pershape[cat] = (pershape[cat] * shape_cnt[cat] + iou) / (shape_cnt[cat] + 1)
                 shape_cnt[cat] += 1
         return (
-            float(np.mean(losses)) if losses else 0.0,
+            float(np.average(losses, weights=loss_w)) if losses else 0.0,
             float(np.mean(accs)) if accs else 0.0,
             float(np.mean(ious)) if ious else 0.0,
             pershape,
@@ -239,9 +246,14 @@ class ShapeNetTrainer(_TrainerBase):
         """Held-out test with fixed-size resampling + optional LP
         (ShapeNet_DGCNN_trainer.py:511-596).
 
-        Unlike the reference's one-sample-at-a-time session loop, samples
-        are processed in fixed-size batches — the forward pass AND the LP
-        solve are batched on device (~batch_size x inference throughput).
+        Unlike the reference's one-sample-at-a-time session loop, views are
+        processed in fixed-size batches — the forward pass AND the LP solve
+        are batched on device (~batch_size x inference throughput). Every
+        shape is expanded into one or more ``num_points``-sized views that
+        together cover all of its points (data/shapenet.py::cover_partition)
+        and IoU/accuracy score every ORIGINAL point — shapes larger than
+        ``num_points`` (which crash the reference, quirk Q3) are fully
+        evaluated, not subsampled.
         """
         if use_label_prop is None:
             use_label_prop = self.style == "Full"
@@ -259,55 +271,72 @@ class ShapeNetTrainer(_TrainerBase):
             )[0], axis=-1)
         )
 
-        def run_chunk(chunk):
-            """chunk: list of (pts, seg, cat) tuples; padded to batch_size."""
-            valid = len(chunk)
-            xs, sels, cats = [], [], []
-            for pts, _seg, cat in chunk:
-                sel = shapenet_data.resample_to_fixed(
-                    len(pts), num_points, self.np_rng)
-                sels.append(sel)
-                xs.append(pts[sel])
-                cats.append(cat)
-            while len(xs) < batch_size:  # pad to the compiled shape
-                xs.append(xs[0])
-                cats.append(cats[0])
-            x = np.stack(xs).astype(np.float32)
-            cat_onehot = onehot_encode(np.asarray(cats), self.num_categories)
-            prob = eval_fwd(self.state, x, cat_onehot)
-            if use_label_prop:
-                prob = propagate_batch(
-                    x, prob,
-                    alpha=lp.alpha, beta=lp.beta,
-                    xyz_bandwidth=lp.xyz_bandwidth,
-                    rgb_bandwidth=lp.rgb_bandwidth,
-                    ridge=lp.ridge, solver=lp.solver, cg_iters=lp.cg_iters,
-                )
-            prob = np.asarray(prob)
-            for b_i in range(valid):
-                pts, seg, cat = chunk[b_i]
-                sel = sels[b_i]
-                # keep only original (unduplicated) points
-                keep = np.arange(min(len(pts), num_points))
-                prob_orig = prob[b_i][keep]
-                seg_orig = seg[sel][keep]
-                oids = self.meta.iou_oids(cat)
-                pred = category_biased_argmax(prob_orig, oids)
-                iou = eval_iou(pred, seg_orig, oids)
-                per_data_iou.append(iou)
-                accs.append(float(np.mean(pred == seg_orig)))
-                pershape[cat] = (
-                    pershape[cat] * shape_cnt[cat] + iou) / (shape_cnt[cat] + 1)
-                shape_cnt[cat] += 1
+        shapes: Dict[int, dict] = {}  # shape id -> in-flight buffers
+        queue = []  # (shape_id, view index array)
 
-        chunk = []
+        def finish(sid):
+            e = shapes.pop(sid)
+            seg, cat = e["seg"], e["cat"]
+            oids = self.meta.iou_oids(cat)
+            pred = category_biased_argmax(e["prob"], oids)
+            iou = eval_iou(pred, seg, oids)
+            per_data_iou.append(iou)
+            accs.append(float(np.mean(pred == seg)))
+            pershape[cat] = (
+                pershape[cat] * shape_cnt[cat] + iou) / (shape_cnt[cat] + 1)
+            shape_cnt[cat] += 1
+
+        def flush(force=False):
+            while queue and (len(queue) >= batch_size or force):
+                views = queue[:batch_size]
+                del queue[:batch_size]
+                valid = len(views)
+                xs = [shapes[sid]["pts"][sel] for sid, sel in views]
+                cats = [shapes[sid]["cat"] for sid, _ in views]
+                while len(xs) < batch_size:  # pad to the compiled shape
+                    xs.append(xs[0])
+                    cats.append(cats[0])
+                x = np.stack(xs).astype(np.float32)
+                cat_onehot = onehot_encode(
+                    np.asarray(cats), self.num_categories)
+                prob = eval_fwd(self.state, x, cat_onehot)
+                if use_label_prop:
+                    prob = propagate_batch(
+                        x, prob,
+                        alpha=lp.alpha, beta=lp.beta,
+                        xyz_bandwidth=lp.xyz_bandwidth,
+                        rgb_bandwidth=lp.rgb_bandwidth,
+                        ridge=lp.ridge, solver=lp.solver,
+                        cg_iters=lp.cg_iters,
+                    )
+                prob = np.asarray(prob)
+                for v_i in range(valid):
+                    sid, sel = views[v_i]
+                    e = shapes[sid]
+                    # first estimate wins: original positions beat duplicate
+                    # padding (the reference keeps Z_prob_LP[pts_idx], the
+                    # first len(pts) rows) and earlier views beat pad repeats
+                    uniq, first = np.unique(sel, return_index=True)
+                    fresh = first[~e["written"][uniq]]
+                    e["prob"][sel[fresh]] = prob[v_i][fresh]
+                    e["written"][sel[fresh]] = True
+                    e["left"] -= 1
+                    if e["left"] == 0:
+                        finish(sid)
+
         for i in range(len(testset)):
-            chunk.append(testset[i])
-            if len(chunk) == batch_size:
-                run_chunk(chunk)
-                chunk = []
-        if chunk:
-            run_chunk(chunk)
+            pts, seg, cat = testset[i]
+            sels = shapenet_data.cover_partition(
+                len(pts), num_points, self.np_rng)
+            shapes[i] = {
+                "pts": pts, "seg": seg, "cat": cat,
+                "prob": np.zeros((len(pts), self.num_classes), np.float32),
+                "written": np.zeros(len(pts), bool),
+                "left": len(sels),
+            }
+            queue.extend((i, sel) for sel in sels)
+            flush()
+        flush(force=True)
         seen = shape_cnt > 0
         return {
             "perdata_miou": float(np.mean(per_data_iou)),
@@ -341,6 +370,8 @@ class S3DISTrainer(_TrainerBase):
         data = b.data
         valid = np.zeros(b.data.shape[0], np.float32)
         valid[: b.valid] = 1.0
+        # padded tail rows must not contribute to the masked-CE denominator
+        mask = mask * valid[:, None]
         if siamese:
             aug = augment.s3dis_augment if augment_pairs else None
             data = augment.make_siamese_batch(data, self.np_rng, aug)
@@ -371,16 +402,17 @@ class S3DISTrainer(_TrainerBase):
         (S3DIS_DGCNN_trainer.py:412-481). Returns (loss, acc, miou,
         per-class iou [13])."""
         acc = ConfusionAccumulator(self.num_classes)
-        losses = []
+        losses, loss_w = [], []
         for b in self.ds.batches(self.val_idx, self.cfg.train.batch_size):
             batch = self._assemble(b, siamese=False, augment_pairs=False,
                                    full_mask=True)
             prob, loss = self.eval_step(self.state, self._put(batch, pairs=False))
             prob = np.asarray(prob)[: b.valid]
             losses.append(float(loss))
+            loss_w.append(b.valid)
             acc.update(prob.argmax(-1), b.seg[: b.valid])
         return (
-            float(np.mean(losses)) if losses else 0.0,
+            float(np.average(losses, weights=loss_w)) if losses else 0.0,
             acc.accuracy,
             acc.miou,
             acc.iou,
