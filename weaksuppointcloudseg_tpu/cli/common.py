@@ -58,6 +58,12 @@ def base_parser(dataset: str, *, train: bool) -> argparse.ArgumentParser:
                        help="datetime stamp of the trained model to load")
         p.add_argument("--Checkpoint", type=str, default=None,
                        help="explicit checkpoint path (overrides --Datetime)")
+        p.add_argument("--LPSolver", type=str, default=None,
+                       choices=["solve", "cg", "cg_matfree", "sharded"],
+                       help="label-propagation solver: batched dense LU "
+                            "(default), CG on the dense Laplacian, "
+                            "matrix-free CG (no NxN ever built), or "
+                            "point-axis-sharded CG over the device mesh")
     return p
 
 
@@ -83,7 +89,11 @@ def build_config(args, dataset: str) -> configs.ExperimentConfig:
         rampup=getattr(args, "Rampup", cfg.weaksup.rampup),
         compat_frozen_gate=getattr(args, "CompatFrozenGate", False),
     )
-    return dataclasses.replace(cfg, train=train, schedule=schedule, weaksup=weaksup)
+    labelprop = cfg.labelprop
+    if getattr(args, "LPSolver", None):
+        labelprop = dataclasses.replace(labelprop, solver=args.LPSolver)
+    return dataclasses.replace(cfg, train=train, schedule=schedule,
+                               weaksup=weaksup, labelprop=labelprop)
 
 
 def result_base_path(dataset: str, args) -> str:

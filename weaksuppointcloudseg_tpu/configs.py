@@ -104,7 +104,11 @@ class LabelPropConfig:
     rgb_bandwidth: float = 1e1  # W_rgb = exp(-D * 1e1)
     ridge: float = 1e-5
     degree_eps: float = 1e-8
-    solver: str = "solve"  # "solve" (dense LU) | "cg" (matrix-free)
+    # "solve" (batched dense LU) | "cg" (CG on the dense Laplacian) |
+    # "cg_matfree" (CG, affinity rows recomputed in the matvec — no [B,N,N]
+    # ever built) | "sharded" (point-axis-sharded matrix-free CG over the
+    # device mesh, propagate/sharded.py)
+    solver: str = "solve"
     cg_iters: int = 50
 
 

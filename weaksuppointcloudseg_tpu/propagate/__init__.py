@@ -5,6 +5,7 @@ from weaksuppointcloudseg_tpu.propagate.laplacian import (
 from weaksuppointcloudseg_tpu.propagate.label_prop import (
     entropy_confidence,
     label_propagation,
+    label_propagation_matfree,
     propagate_batch,
 )
 from weaksuppointcloudseg_tpu.propagate.sharded import (
@@ -16,6 +17,7 @@ __all__ = [
     "laplacian_xyz_rgb",
     "entropy_confidence",
     "label_propagation",
+    "label_propagation_matfree",
     "propagate_batch",
     "label_propagation_sharded",
 ]

@@ -65,21 +65,101 @@ def label_propagation(
     b, n, _ = lap.shape
     w = entropy_confidence(g)  # [B, N]
     rhs = w[..., None] * g  # diag(w) @ G
-    eye = jnp.eye(n, dtype=lap.dtype)
-    a = alpha * lap + beta * w[..., :, None] * eye + ridge * eye
 
     if solver == "cg":
+        # matvec straight off the Laplacian — the system matrix
+        # a = alpha L + beta diag(w) + ridge I is never materialized
+        diag = beta * w + ridge  # [B, N]
+
         def matvec(v):
-            return jnp.einsum("bnm,bmk->bnk", a, v,
-                              preferred_element_type=jnp.float32)
+            lv = jnp.einsum("bnm,bmk->bnk", lap, v,
+                            preferred_element_type=jnp.float32)
+            return alpha * lv + diag[..., None] * v
+
         y, _ = jax.scipy.sparse.linalg.cg(matvec, rhs, maxiter=cg_iters)
         y = beta * y
     else:
+        eye = jnp.eye(n, dtype=lap.dtype)
+        a = alpha * lap + beta * w[..., :, None] * eye + ridge * eye
         y = beta * jnp.linalg.solve(a, rhs)
 
     denom = jnp.sum(y, axis=-1, keepdims=True)
     y_prob = y / jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
     return y, y_prob, w
+
+
+def _largest_divisor_at_most(n: int, cap: int) -> int:
+    for t in range(min(cap, n), 0, -1):
+        if n % t == 0:
+            return t
+    return 1
+
+
+@partial(jax.jit, static_argnames=(
+    "alpha", "beta", "xyz_bandwidth", "rgb_bandwidth", "ridge",
+    "degree_eps", "cg_iters", "row_tile"))
+def label_propagation_matfree(
+    xyz: jax.Array,   # [B, N, Cx]
+    g: jax.Array,     # [B, N, K]
+    rgb: jax.Array,   # [B, N, Cr]
+    *,
+    alpha: float = 1.0,
+    beta: float = 1.0,
+    xyz_bandwidth: float = 1e3,
+    rgb_bandwidth: float = 1e1,
+    ridge: float = 1e-5,
+    degree_eps: float = 1e-8,
+    cg_iters: int = 50,
+    row_tile: int = 512,
+) -> jax.Array:
+    """Genuinely matrix-free LP: CG where the affinity row block is
+    recomputed inside every matvec (lax.map over row tiles), so no [B,N,N]
+    array ever exists — peak extra memory is one [B, T, N] tile. Same
+    semantics as the dense symmetric-normalized solve (Util/Tool.py:435-467
+    + ProbLabelPropagation.py:21-23): trades O(iters) recomputation of the
+    Gram/exp for O(N^2) -> O(T*N) memory; the mode for clouds whose dense
+    Laplacian would not fit HBM.
+    """
+    b, n, _ = xyz.shape
+    t = _largest_divisor_at_most(n, row_tile)
+    n_tiles = n // t
+
+    def w_rows(i, u):
+        """Rows [i*t, (i+1)*t) of W applied to u: [B, T, K]."""
+        rx = jax.lax.dynamic_slice_in_dim(xyz, i * t, t, axis=1)
+        rr = jax.lax.dynamic_slice_in_dim(rgb, i * t, t, axis=1)
+
+        def sqd(a_, b_):
+            inner = jnp.einsum("btc,bnc->btn", a_, b_,
+                               preferred_element_type=jnp.float32)
+            return (jnp.sum(a_ * a_, -1)[..., :, None] - 2.0 * inner
+                    + jnp.sum(b_ * b_, -1)[..., None, :])
+
+        wt = jnp.exp(-(jnp.maximum(sqd(rx, xyz), 0.0) * xyz_bandwidth
+                       + jnp.maximum(sqd(rr, rgb), 0.0) * rgb_bandwidth))
+        return jnp.einsum("btn,bnk->btk", wt, u,
+                          preferred_element_type=jnp.float32)
+
+    def apply_w(u):  # [B, N, K] -> W @ u, tiled
+        tiles = jax.lax.map(lambda i: w_rows(i, u), jnp.arange(n_tiles))
+        return jnp.moveaxis(tiles, 0, 1).reshape(b, n, u.shape[-1])
+
+    d = apply_w(jnp.ones((b, n, 1), xyz.dtype))[..., 0]  # degrees [B, N]
+    s = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
+    w_conf = entropy_confidence(g)
+    diag = alpha * (d + degree_eps) * s * s + beta * w_conf + ridge  # [B, N]
+
+    def matvec(v):
+        # A v = alpha Lsym v + (beta w + ridge) v with
+        # Lsym v = s (d+eps) s v - s W (s v)
+        return diag[..., None] * v - alpha * s[..., None] * apply_w(
+            s[..., None] * v)
+
+    rhs = w_conf[..., None] * g
+    y, _ = jax.scipy.sparse.linalg.cg(matvec, rhs, maxiter=cg_iters)
+    y = beta * y
+    denom = jnp.sum(y, axis=-1, keepdims=True)
+    return y / jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
 
 
 def propagate_batch(
@@ -100,11 +180,34 @@ def propagate_batch(
     ShapeNet passes rgb=None (the reference feeds xyz twice,
     ShapeNet_DGCNN_trainer.py:551); S3DIS passes the RGB channels
     (S3DIS_DGCNN_trainer.py:543).
-    """
-    from weaksuppointcloudseg_tpu.propagate.laplacian import laplacian_xyz_rgb
 
+    Solvers: "solve" (batched dense LU), "cg" (CG on the dense Laplacian),
+    "cg_matfree" (no [B,N,N] ever built), "sharded" (point-axis-sharded
+    matrix-free CG over the device mesh, propagate/sharded.py).
+    """
     if rgb is None:
         rgb = xyz
+    if solver == "cg_matfree":
+        return label_propagation_matfree(
+            xyz, g, rgb, alpha=alpha, beta=beta,
+            xyz_bandwidth=xyz_bandwidth, rgb_bandwidth=rgb_bandwidth,
+            ridge=ridge, cg_iters=cg_iters,
+        )
+    if solver == "sharded":
+        from weaksuppointcloudseg_tpu.parallel import make_mesh
+        from weaksuppointcloudseg_tpu.propagate.sharded import (
+            label_propagation_sharded,
+        )
+
+        mesh = make_mesh()
+        return label_propagation_sharded(
+            mesh, xyz, g, rgb, alpha=alpha, beta=beta,
+            xyz_bandwidth=xyz_bandwidth, rgb_bandwidth=rgb_bandwidth,
+            ridge=ridge, cg_iters=cg_iters, sym=True,
+        )
+
+    from weaksuppointcloudseg_tpu.propagate.laplacian import laplacian_xyz_rgb
+
     lap = laplacian_xyz_rgb(
         xyz, rgb, sym=True,
         xyz_bandwidth=xyz_bandwidth, rgb_bandwidth=rgb_bandwidth,

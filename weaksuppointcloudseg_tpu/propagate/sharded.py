@@ -6,15 +6,17 @@ HBM comfort zone (SURVEY.md §5 "long-context" row: a 4096^2 f32 matrix is
 module shards the *point axis* across the device mesh with ``shard_map``:
 
 - each device holds a row block of the affinity/Laplacian matrix
-  [N/D, N] — built locally from a replicated copy of the points;
-- the degree vector needs only the local row sums (no collective);
+  [B, N/D, N] — built locally from a replicated copy of the points;
+- the symmetric normalization (the reference's test-path variant,
+  Util/Tool.py:435-467) needs the global degree vector — ONE [B, N]
+  all-gather; the unnormalized variant (:402-433) needs none;
 - the LP system is solved matrix-free with conjugate gradient where the
-  matvec is row-local and the CG scalars (dot products) reduce with
-  ``psum`` over the mesh — the collectives ride ICI.
+  matvec is row-local (one [B, N, K] all-gather of the iterate) and the CG
+  scalars reduce with ``psum`` — all collectives ride ICI.
 
-This trades the O(N^3) factorization for O(iters * N^2 / D) work and O(1)
-scalar collectives per iteration, and cuts per-device memory from N^2 to
-N^2 / D.
+This trades the O(N^3) factorization for O(iters * N^2 / D) work and cuts
+per-device memory from N^2 to N^2 / D. Reached from the test CLIs via
+``LabelPropConfig(solver="sharded")`` (propagate_batch dispatches here).
 """
 
 from __future__ import annotations
@@ -30,41 +32,25 @@ from jax import shard_map
 from weaksuppointcloudseg_tpu.propagate.label_prop import entropy_confidence
 
 
-def _local_laplacian_rows(
-    x_rows: jax.Array,  # [n_local, C] this device's points
-    x_all: jax.Array,   # [N, C] replicated
-    rgb_rows: jax.Array,
-    rgb_all: jax.Array,
-    *,
-    axis: str,
-    xyz_bandwidth: float,
-    rgb_bandwidth: float,
-    degree_eps: float,
-) -> jax.Array:
-    """Row block of the *unnormalized* Laplacian L = diag(d) - W."""
+def _affinity_rows(x_rows, x_all, rgb_rows, rgb_all, *, xyz_bandwidth,
+                   rgb_bandwidth):
+    """W row block [B, n_local, N] (product kernel, Util/Tool.py:443-459)."""
 
     def sqd(a, b):
-        inner = a @ b.T
-        return (jnp.sum(a * a, 1)[:, None] - 2.0 * inner
-                + jnp.sum(b * b, 1)[None, :])
+        inner = jnp.einsum("blc,bnc->bln", a, b,
+                           preferred_element_type=jnp.float32)
+        return (jnp.sum(a * a, -1)[..., :, None] - 2.0 * inner
+                + jnp.sum(b * b, -1)[..., None, :])
 
-    w = jnp.exp(-(jnp.maximum(sqd(x_rows, x_all), 0.0) * xyz_bandwidth
-                  + jnp.maximum(sqd(rgb_rows, rgb_all), 0.0) * rgb_bandwidth))
-    d = jnp.sum(w, axis=1)  # local row degrees
-    n_local = x_rows.shape[0]
-    # global row index of each local row, to place the diagonal
-    shard = jax.lax.axis_index(axis)
-    col = jax.lax.broadcasted_iota(jnp.int32, (n_local, x_all.shape[0]), 1)
-    row_global = shard * n_local + jax.lax.broadcasted_iota(
-        jnp.int32, (n_local, x_all.shape[0]), 0)
-    # L = diag(d + eps) - W, rows only
-    return jnp.where(col == row_global, d[:, None] + degree_eps - w, -w)
+    return jnp.exp(-(jnp.maximum(sqd(x_rows, x_all), 0.0) * xyz_bandwidth
+                     + jnp.maximum(sqd(rgb_rows, rgb_all), 0.0)
+                     * rgb_bandwidth))
 
 
 def label_propagation_sharded(
     mesh: Mesh,
-    x: jax.Array,    # [N, C] points (single sample)
-    g: jax.Array,    # [N, K] predicted probabilities
+    x: jax.Array,    # [B, N, C] (or [N, C]) points
+    g: jax.Array,    # [B, N, K] (or [N, K]) predicted probabilities
     rgb: Optional[jax.Array] = None,
     *,
     alpha: float = 1.0,
@@ -74,13 +60,20 @@ def label_propagation_sharded(
     ridge: float = 1e-5,
     degree_eps: float = 1e-8,
     cg_iters: int = 50,
+    sym: bool = True,
 ) -> jax.Array:
-    """Y_prob [N, K] via point-axis-sharded CG. N must divide the mesh size.
+    """Y_prob via point-axis-sharded CG. N must divide the mesh size.
 
-    Uses the *unnormalized* Laplacian (Util/Tool.py:402-433 variant): its
-    row-sharded matvec needs no global degree exchange. The system
-    A = alpha L + beta diag(w) + ridge I is SPD.
+    ``sym=True`` (default) solves with the symmetric-normalized Laplacian —
+    the variant the reference's test path uses (Util/Tool.py:435-467) — at
+    the cost of one [B, N] degree all-gather; ``sym=False`` uses the
+    unnormalized Laplacian (:402-433), which needs no degree exchange.
+    The system A = alpha L + beta diag(w) + ridge I is SPD either way.
     """
+    squeeze = x.ndim == 2
+    if squeeze:
+        x, g = x[None], g[None]
+        rgb = None if rgb is None else rgb[None]
     if rgb is None:
         rgb = x
     axis = mesh.axis_names[0]
@@ -88,36 +81,48 @@ def label_propagation_sharded(
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(axis), P(None), P(axis), P(None), P(axis), P(None)),
-        out_specs=P(axis),
+        in_specs=(P(None, axis), P(None, None), P(None, axis), P(None, None),
+                  P(None, axis), P(None, None)),
+        out_specs=P(None, axis),
         check_vma=False,
     )
     def solve(x_rows, x_all, rgb_rows, rgb_all, g_rows, g_all):
-        lap_rows = _local_laplacian_rows(
-            x_rows, x_all, rgb_rows, rgb_all, axis=axis,
+        w_aff = _affinity_rows(
+            x_rows, x_all, rgb_rows, rgb_all,
             xyz_bandwidth=xyz_bandwidth, rgb_bandwidth=rgb_bandwidth,
-            degree_eps=degree_eps,
-        )  # [n_local, N]
-        w_all = entropy_confidence(g_all)  # replicated [N]
-        n_local = x_rows.shape[0]
+        )  # [B, n_local, N]
+        d_rows = jnp.sum(w_aff, axis=-1)  # local row degrees [B, n_local]
+        b, n_local, n = w_aff.shape
         shard = jax.lax.axis_index(axis)
         rows = shard * n_local + jnp.arange(n_local)
-        w_rows = w_all[rows]
+        col = jax.lax.broadcasted_iota(jnp.int32, (n_local, n), 1)
+        on_diag = col == rows[:, None]  # [n_local, N]
 
-        col = jax.lax.broadcasted_iota(jnp.int32, lap_rows.shape, 1)
-        row_g = rows[:, None]
+        # L rows = diag(d + eps) - W
+        lap_rows = jnp.where(
+            on_diag, d_rows[..., None] + degree_eps - w_aff, -w_aff)
+        if sym:
+            # one [B, N] collective buys the global degrees for the
+            # column scaling; row scaling is local
+            d_all = jax.lax.all_gather(d_rows, axis, axis=1, tiled=True)
+            s_all = jax.lax.rsqrt(jnp.maximum(d_all, 1e-30))  # [B, N]
+            s_rows = s_all[:, rows]
+            lap_rows = (s_rows[..., None] * lap_rows * s_all[:, None, :])
+
+        w_conf = entropy_confidence(g_all)  # replicated [B, N]
+        w_rows = w_conf[:, rows]
         a_rows = alpha * lap_rows + jnp.where(
-            col == row_g, beta * w_rows[:, None] + ridge, 0.0
-        )  # [n_local, N]
+            on_diag, beta * w_rows[..., None] + ridge, 0.0)
 
-        b_rows = beta * w_rows[:, None] * g_rows  # rhs rows (note: the
-        # closed form multiplies by beta outside the inverse AND uses
-        # diag(w) G — identical algebra to label_prop.py)
+        b_rows = beta * w_rows[..., None] * g_rows  # rhs rows (the closed
+        # form multiplies by beta outside the inverse AND uses diag(w) G —
+        # identical algebra to label_prop.py)
 
         def matvec(v_rows):
             # v is sharded by rows; the matvec needs all of v
-            v_full = jax.lax.all_gather(v_rows, axis, tiled=True)  # [N, K]
-            return a_rows @ v_full
+            v_full = jax.lax.all_gather(v_rows, axis, axis=1, tiled=True)
+            return jnp.einsum("bln,bnk->blk", a_rows, v_full,
+                              preferred_element_type=jnp.float32)
 
         def pdot(u, v):  # global inner product of sharded vectors
             return jax.lax.psum(jnp.sum(u * v), axis)
@@ -140,7 +145,9 @@ def label_propagation_sharded(
 
         y_rows, _, _, _ = jax.lax.fori_loop(0, cg_iters, body,
                                             (x0, r0, p0, rs0))
+        # row-normalize: the denominator is row-local (sum over K)
         denom = jnp.sum(y_rows, axis=-1, keepdims=True)
         return y_rows / jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
 
-    return solve(x, x, rgb, rgb, g, g)
+    out = solve(x, x, rgb, rgb, g, g)
+    return out[0] if squeeze else out
