@@ -5,6 +5,11 @@ Note: the harness's sitecustomize imports jax at interpreter start with
 JAX_PLATFORMS=axon (the TPU plugin), so env vars set here are too late —
 ``jax.config.update`` still works because no backend has been initialized
 when conftest runs.
+
+Set ``WSPC_TPU_TESTS=1`` to SKIP the CPU pin and run the on-device
+kernel-equivalence suite (tests/test_tpu_kernels.py) on the real chip:
+
+    WSPC_TPU_TESTS=1 python -m pytest tests/test_tpu_kernels.py -q
 """
 
 import os
@@ -17,7 +22,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("WSPC_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,126 @@
+"""On-device (real TPU) kernel-equivalence suite.
+
+The CPU suite exercises every Pallas kernel in interpret mode; this module
+locks the SAME equivalences on the actual hardware — compiled Mosaic
+kernels vs XLA references on the chip. Auto-skips unless the session runs
+on a TPU backend:
+
+    WSPC_TPU_TESTS=1 PYTHONPATH=.:/root/.axon_site \
+        python -m pytest tests/test_tpu_kernels.py -q
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="real-TPU kernel tests (set WSPC_TPU_TESTS=1 under a TPU backend)",
+)
+
+B, N, K, C = 4, 1024, 20, 64
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    return {
+        "x3": jax.device_put(
+            rng.standard_normal((B, N, 3)).astype(np.float32)),
+        "fb16": jax.device_put(
+            rng.standard_normal((B, N, C)).astype(np.float32)
+        ).astype(jnp.bfloat16),
+        "idx": jax.device_put(
+            rng.integers(0, N, (B, N, K)).astype(np.int32)),
+        "ct": jax.device_put(
+            rng.standard_normal((B, N, K, C)).astype(np.float32)),
+    }
+
+
+def test_knn_exact_bit_identical_on_device(data):
+    from weaksuppointcloudseg_tpu.ops.knn_pallas import knn_pallas
+    from weaksuppointcloudseg_tpu.ops import neighbors as knn_ops
+
+    for x in (data["x3"], data["fb16"]):
+        got = np.asarray(knn_pallas(x, K))
+        want = np.asarray(knn_ops.knn(knn_ops.pairwise_sqdist(x), K))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_knn_fast_agreement_on_device(data):
+    from weaksuppointcloudseg_tpu.ops.knn_pallas import knn_pallas
+    from weaksuppointcloudseg_tpu.ops import neighbors as knn_ops
+
+    got = np.asarray(knn_pallas(data["x3"], K, fast=True))
+    want = np.asarray(knn_ops.knn(knn_ops.pairwise_sqdist(data["x3"]), K))
+    agree = (got == want).mean()
+    assert agree > 0.97, f"packed-min selection diverged: {agree:.4f}"
+
+
+def test_knn_values_match_topk_on_device(data):
+    from weaksuppointcloudseg_tpu.ops.knn_pallas import knn_pallas
+    from weaksuppointcloudseg_tpu.ops import neighbors as knn_ops
+
+    _, sqd = knn_pallas(data["x3"], K, with_values=True)
+    want_vals, _ = jax.lax.top_k(-knn_ops.pairwise_sqdist(data["x3"]), K)
+    np.testing.assert_allclose(np.asarray(sqd), -np.asarray(want_vals),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gather_bf16_bit_exact_on_device(data):
+    from weaksuppointcloudseg_tpu.ops.gather_pallas import gather_rows_pallas
+
+    f, idx = data["fb16"], data["idx"]
+    got = np.asarray(gather_rows_pallas(f, idx).astype(jnp.float32))
+    want = np.asarray(jnp.take_along_axis(
+        f, idx.reshape(B, N * K)[..., None], axis=1
+    ).reshape(B, N, K, C).astype(jnp.float32))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_scatter_matches_xla_on_device(data):
+    from weaksuppointcloudseg_tpu.ops.scatter_pallas import scatter_add_pallas
+
+    idx, ct = data["idx"], data["ct"]
+    got = np.asarray(scatter_add_pallas(idx, ct, N))
+    bidx = jnp.arange(B)[:, None, None]
+    want = np.asarray(
+        jnp.zeros((B, N, C), jnp.float32).at[bidx, idx].add(ct))
+    # MXU operand rounding + matmul-order summation: ~2e-3 relative
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=5e-3 * scale)
+
+
+def test_fused_knn_gather_bit_identical_on_device(data):
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import (
+        knn_gather, knn_gather_with_sqdist)
+    from weaksuppointcloudseg_tpu.ops.gather_pallas import gather_rows_pallas
+    from weaksuppointcloudseg_tpu.ops.knn_pallas import knn_pallas
+
+    f = data["fb16"]
+    idx, nbr = knn_gather(data["x3"], f, K)
+    want_idx = knn_pallas(data["x3"], K)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_idx))
+    want_nbr = gather_rows_pallas(f, idx)
+    np.testing.assert_array_equal(
+        np.asarray(nbr.astype(jnp.float32)),
+        np.asarray(want_nbr.astype(jnp.float32)))
+
+    idx2, nbr2, sqd = knn_gather_with_sqdist(data["x3"], f, K)
+    np.testing.assert_array_equal(np.asarray(idx2), np.asarray(want_idx))
+    _, want_sqd = knn_pallas(data["x3"], K, with_values=True)
+    np.testing.assert_allclose(np.asarray(sqd), np.asarray(want_sqd),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fused_fast_gathers_its_own_indices_on_device(data):
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import knn_gather
+    from weaksuppointcloudseg_tpu.ops.gather_pallas import gather_rows_pallas
+
+    f = data["fb16"]
+    idx, nbr = knn_gather(data["x3"], f, K, 256, False, True)
+    want = gather_rows_pallas(f, idx)
+    np.testing.assert_array_equal(
+        np.asarray(nbr.astype(jnp.float32)),
+        np.asarray(want.astype(jnp.float32)))
