@@ -6,6 +6,7 @@ from weaksuppointcloudseg_tpu.losses.weaksup import (
     total_weaksup_loss,
 )
 from weaksuppointcloudseg_tpu.losses import alternates
+from weaksuppointcloudseg_tpu.losses import smooth_variants
 
 __all__ = [
     "masked_softmax_ce",
@@ -14,4 +15,5 @@ __all__ = [
     "smooth_knn_laplacian",
     "total_weaksup_loss",
     "alternates",
+    "smooth_variants",
 ]

@@ -65,13 +65,62 @@ def laplacian_xyz_rgb(
     w = product_kernel_weights(
         xyz, rgb, xyz_bandwidth=xyz_bandwidth, rgb_bandwidth=rgb_bandwidth
     )
+    # both XYZRGB variants add the diagonal epsilon (Tool.py:429-430 unnorm,
+    # :462-464 sym), unlike the generic LaplacianMat
+    return laplacian_from_weights(
+        w, sym=sym, degree_eps=degree_eps, eps_always=True)
+
+
+# --- generic calculators (Util/Tool.py:297-400, TF_Computation inner
+# classes: InnerProd / PairDist2 / PairWeight2 / LaplacianMat[Sym] /
+# LaplacianMatSym_DirectComp). The reference builds one placeholder graph
+# per calculator; here each is a plain jittable function. Dormant in the
+# reference (only the XYZRGB direct-comp pair is on the live path) —
+# rebuilt for completeness. ---
+
+
+def inner_prod(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Batched Gram matrix X Y^T (Tool.py:297-306). [B,N,C]x[B,M,C]->[B,N,M]."""
+    return jnp.einsum("bnc,bmc->bnm", x, y,
+                      preferred_element_type=jnp.float32)
+
+
+def pair_dist2(x: jax.Array) -> jax.Array:
+    """Clamped squared pairwise distances (Tool.py:310-327)."""
+    return jnp.maximum(pairwise_sqdist(x), 0.0)
+
+
+def pair_weight2(x: jax.Array, gamma: float) -> jax.Array:
+    """Gaussian affinity exp(-D/gamma) on clamped distances (Tool.py:331-349)."""
+    return jnp.exp(-pair_dist2(x) / gamma)
+
+
+def laplacian_from_weights(
+    w: jax.Array, *, sym: bool = False, degree_eps: float = 1e-8,
+    eps_always: bool = False,
+) -> jax.Array:
+    """L = diag(d [+ eps]) - W, optionally symmetric-normalized
+    (Tool.py:352-383, LaplacianMat / LaplacianMatSym).
+
+    Epsilon semantics reproduce the reference exactly: the generic
+    unnormalized LaplacianMat adds NO diagonal epsilon (Tool.py:355-358)
+    while the sym variant adds 1e-8 (:370-373); the XYZRGB direct-comp
+    builders add it in BOTH variants (``eps_always``, :429-430, :462-464).
+    """
     d = jnp.sum(w, axis=-1)  # [B, N]
-    lap = -w
-    diag = d + degree_eps
     n = w.shape[-1]
     eye = jnp.eye(n, dtype=w.dtype)
-    lap = lap + diag[..., None] * eye
+    add = degree_eps if (sym or eps_always) else 0.0
+    lap = (d + add)[..., None] * eye - w
     if not sym:
         return lap
     d_negsqrt = jax.lax.rsqrt(jnp.maximum(d, 1e-30))  # [B, N]
     return lap * d_negsqrt[..., :, None] * d_negsqrt[..., None, :]
+
+
+def laplacian_sym_direct(x: jax.Array, *, bandwidth: float = 1e3,
+                         degree_eps: float = 1e-8) -> jax.Array:
+    """Symmetric-normalized Laplacian straight from points with the fixed
+    exp(-D * 1e3) kernel (Tool.py:385-400, LaplacianMatSym_DirectComp)."""
+    w = jnp.exp(-pair_dist2(x) * bandwidth)
+    return laplacian_from_weights(w, sym=True, degree_eps=degree_eps)
