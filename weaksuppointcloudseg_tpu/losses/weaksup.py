@@ -79,6 +79,7 @@ def smooth_knn_laplacian(
     k: int = 10,
     channels: Optional[Tuple[int, int]] = None,
     fused_bf16: bool = False,
+    fast: bool = False,
 ) -> jax.Array:
     """Spatial(-color) smoothness on the softmax output.
 
@@ -108,7 +109,8 @@ def smooth_knn_laplacian(
         )
 
         _, p_nbr, sqd = knn_gather_with_sqdist(
-            jax.lax.stop_gradient(x), prob.astype(jnp.bfloat16), k)
+            jax.lax.stop_gradient(x), prob.astype(jnp.bfloat16), k,
+            256, False, fast)
         w = jnp.exp(-jnp.maximum(sqd, 0.0) / gamma)
         diff2 = jnp.mean(
             jnp.square(prob[:, :, None, :] - p_nbr.astype(prob.dtype)),

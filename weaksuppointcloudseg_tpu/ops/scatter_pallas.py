@@ -69,14 +69,16 @@ def scatter_add_pallas(
     *,
     tile_rows: int = 512,
     interpret: bool = False,
-    op_dtype=jnp.float32,
+    op_dtype=None,
 ) -> jax.Array:
     """out[b, idx[b, p, j]] += g[b, p, j] -> [B, n, C].
 
     ``op_dtype`` sets the matmul operand precision (accumulation is always
-    f32; measured speed is identical — the kernel is bound by one-hot
-    construction, not the MXU).
+    f32). Default: bf16 cotangents use bf16 operands (no information loss —
+    the one-hot is exact and g is already bf16), f32 uses f32.
     """
+    if op_dtype is None:
+        op_dtype = jnp.bfloat16 if g.dtype == jnp.bfloat16 else jnp.float32
     b, p, k = idx.shape
     c = g.shape[-1]
     n_pad = _round_up(n, 128)

@@ -76,6 +76,7 @@ def _loss_fn(params, bn_state, batch, *, cfg, style, bn_decay, gate, rng):
             # bf16 compute configs run the fused distance+top-k+prob-gather
             # kernel (neighbor probs round to bf16; weights stay f32)
             fused_bf16=(jnp.dtype(cfg.model.compute_dtype) == jnp.bfloat16),
+            fast=cfg.model.knn_fast,
         )
         if w.compat_frozen_gate:
             gate = jnp.zeros_like(gate)
