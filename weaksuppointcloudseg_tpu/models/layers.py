@@ -61,9 +61,15 @@ def _batch_norm(x, params, state, *, training: bool, decay, eps: float = BN_EPS)
     if training:
         x32 = x.astype(jnp.float32)
         axes = tuple(range(x.ndim - 1))
+        # One-pass moments: E[x] and E[x^2] reduce in the SAME sweep over
+        # the (large) activation tensor; the textbook two-pass
+        # mean-then-centered-variance forces XLA to re-read it and
+        # materialize the f32 centered tensor. Biased variance like
+        # tf.nn.moments; f32 accumulation keeps E[x^2]-E[x]^2 cancellation
+        # well under the BN epsilon (1e-3) for activation-scale data.
         mean = jnp.mean(x32, axis=axes)
-        # tf.nn.moments uses the biased variance.
-        var = jnp.mean(jnp.square(x32 - mean.reshape((1,) * (x.ndim - 1) + (-1,))), axis=axes)
+        mean_sq = jnp.mean(jnp.square(x32), axis=axes)
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
         new_state = {
             "mean": state["mean"] * decay + mean * (1.0 - decay),
             "var": state["var"] * decay + var * (1.0 - decay),
