@@ -156,3 +156,37 @@ class TestEdgeConvDecomposition:
             np.testing.assert_allclose(np.asarray(got_state[key]),
                                        np.asarray(want_state[key]),
                                        rtol=1e-4, atol=1e-6)
+
+
+class TestEdgeConvMatmul:
+    """edge_conv_matmul: forward == straight concat+conv bit-for-bit;
+    the d_ef-free custom VJP matches the mechanical transpose."""
+
+    def test_forward_and_grads_match_straight_path(self, rng):
+        b, n, k, c, co = 2, 32, 6, 5, 8
+        f = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+        nbr = jnp.asarray(rng.standard_normal((b, n, k, c)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((2 * c, co)), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((co,)), jnp.float32)
+
+        def straight(f, nbr, w, bias):
+            ef = jnp.concatenate(
+                [jnp.broadcast_to(f[:, :, None, :], nbr.shape),
+                 nbr - f[:, :, None, :]], axis=-1)
+            return jnp.einsum("...i,io->...o", ef, w) + bias
+
+        y1 = layers.edge_conv_matmul(f, nbr, w, bias)
+        y2 = straight(f, nbr, w, bias)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+        def loss_custom(args):
+            return jnp.sum(jnp.sin(layers.edge_conv_matmul(*args)))
+
+        def loss_straight(args):
+            return jnp.sum(jnp.sin(straight(*args)))
+
+        g1 = jax.grad(loss_custom)((f, nbr, w, bias))
+        g2 = jax.grad(loss_straight)((f, nbr, w, bias))
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-5, atol=2e-5)

@@ -139,16 +139,21 @@ def apply_dgcnn_seg(
     for s_i, widths in enumerate(cfg.edge_channels):
         src = graph_feat if s_i == 0 else stage_outputs[-1]
         f_in = feat if s_i == 0 else stage_outputs[-1]
-        # NOTE: the u_i + v_j first-conv decomposition
-        # (layers.apply_edge_conv_first) measured *slower* end-to-end here
-        # (218 -> 225-237 ms/step) — XLA already fuses the concat into the
-        # conv, so the edge tensor it avoids was never materialized. The
-        # real win was fusing the gather into the kNN selection loop
-        # (ops/edgeconv_pallas.py; dispatched by edge_feature_auto).
-        h = knn_ops.edge_feature_auto(
+        # NOTE on decompositions tried here: the u_i + v_j FORWARD
+        # decomposition (layers.apply_edge_conv_first) measured *slower*
+        # (XLA fuses the concat into the conv, so the edge tensor it avoids
+        # is never materialized forward). The wins were (1) fusing the
+        # gather into the kNN selection loop (ops/edgeconv_pallas.py, via
+        # neighbor_features_auto) and (2) the d_ef-free BACKWARD of
+        # layers.edge_conv_matmul — forward stays the straight concat+conv.
+        nbr = knn_ops.neighbor_features_auto(
             src, f_in, cfg.k, use_fused=cfg.use_fused_knn, fast=cfg.knn_fast
         )
-        for w in widths:
+        name = f"adj_conv{conv_i}"
+        h, new_state[name] = layers.apply_edge_conv(
+            params[name], state[name], f_in, nbr, **kw)
+        conv_i += 1
+        for w in widths[1:]:
             name = f"adj_conv{conv_i}"
             h, new_state[name] = layers.apply_conv(params[name], state[name], h, **kw)
             conv_i += 1

@@ -105,6 +105,77 @@ def apply_conv(
     return y, state
 
 
+@jax.custom_vjp
+def edge_conv_matmul(f, nbr, w, b):
+    """First EdgeConv conv: conv2d(concat([f_i, f_j - f_i])) + bias.
+
+    Forward is literally the concat + einsum the straight path uses (XLA
+    fuses the concat into the matmul; bit-identical outputs). The custom
+    VJP exists for the BACKWARD: the mechanical transpose materializes the
+    2C-wide edge-feature cotangent d_ef = dy @ W^T ([B, N, k, 2C] — 672 MB
+    at the flagship shape) before splitting it; this one computes the
+    exact same linear-map transpose factored as
+
+        d_f   = (sum_k dy) @ (W_top - W_bot)^T          (k-reduce FIRST)
+        d_nbr = dy @ W_bot^T                            (C-wide, not 2C)
+        dW_top = f^T @ (sum_k dy)
+        dW_bot = nbr^T(flat) @ dy - dW_top
+
+    so nothing 2C-wide ever exists. Same math up to fp reassociation.
+    """
+    ef = jnp.concatenate(
+        [jnp.broadcast_to(f[:, :, None, :], nbr.shape), nbr - f[:, :, None, :]],
+        axis=-1)
+    y = jnp.einsum("...i,io->...o", ef, w.astype(ef.dtype),
+                   preferred_element_type=jnp.float32)
+    return (y + b).astype(f.dtype) if f.dtype != jnp.float32 else y + b
+
+
+def _edge_conv_matmul_fwd(f, nbr, w, b):
+    return edge_conv_matmul(f, nbr, w, b), (f, nbr, w)
+
+
+def _edge_conv_matmul_bwd(res, dy):
+    f, nbr, w = res
+    c = f.shape[-1]
+    wc = w.astype(f.dtype)
+    w_top, w_bot = wc[:c], wc[c:]
+    # k-reduce FIRST, in f32 (20-term sums of bf16 cotangents)
+    dy_sum = jnp.sum(dy.astype(jnp.float32), axis=2)  # [B, N, Cout]
+    d_f = jnp.einsum("bno,io->bni", dy_sum.astype(dy.dtype), w_top - w_bot,
+                     preferred_element_type=jnp.float32).astype(f.dtype)
+    d_nbr = jnp.einsum("bnko,io->bnki", dy, w_bot,
+                       preferred_element_type=jnp.float32).astype(nbr.dtype)
+    dw_top = jnp.einsum("bnc,bno->co", f, dy_sum.astype(f.dtype),
+                        preferred_element_type=jnp.float32)
+    dw_nbr = jnp.einsum("bnkc,bnko->co", nbr, dy,
+                        preferred_element_type=jnp.float32)
+    dw = jnp.concatenate([dw_top, dw_nbr - dw_top], axis=0)
+    db = jnp.sum(dy.astype(jnp.float32), axis=(0, 1, 2))
+    return (d_f, d_nbr, dw.astype(w.dtype), db.astype(w.dtype))
+
+
+edge_conv_matmul.defvjp(_edge_conv_matmul_fwd, _edge_conv_matmul_bwd)
+
+
+def apply_edge_conv(
+    params: Params,
+    state: State,
+    f: jax.Array,          # [B, N, C] point features
+    nbr: jax.Array,        # [B, N, k, C] gathered neighbor features
+    *,
+    training: bool,
+    bn_decay=None,
+    eps: float = BN_EPS,
+) -> Tuple[jax.Array, State]:
+    """conv(concat([f_i, f_j - f_i])) + bias + BN + ReLU with the
+    d_ef-free backward (see edge_conv_matmul)."""
+    y = edge_conv_matmul(f, nbr, params["w"], params["b"])
+    y, state = _batch_norm(y, params, state, training=training,
+                           decay=bn_decay, eps=eps)
+    return jax.nn.relu(y), state
+
+
 def apply_edge_conv_first(
     params: Params,
     state: State,

@@ -134,6 +134,24 @@ def knn_graph(x: jax.Array, k: int) -> jax.Array:
     return knn(pairwise_sqdist(x), k)
 
 
+def neighbor_features_auto(g: jax.Array, f: jax.Array, k: int,
+                           use_fused: bool = True,
+                           fast: bool = False) -> jax.Array:
+    """Neighbor features f[idx(knn(g))] -> [B, N, k, C], best path per
+    backend/dtype (fused Pallas kNN+gather on TPU bf16; fused kNN + XLA
+    gather otherwise on TPU; pure XLA elsewhere). Gradients flow to ``f``
+    via the scatter VJP; ``g`` gets none."""
+    if use_fused and jax.default_backend() in ("tpu", "axon"):
+        if f.dtype == jnp.bfloat16:
+            from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import (
+                knn_gather,
+            )
+
+            return knn_gather(g, f, k, 256, False, fast)[1]
+        return gather_neighbors(f, knn_graph_fused(g, k, fast=fast))
+    return gather_neighbors(f, knn_graph(g, k))
+
+
 def edge_feature_auto(g: jax.Array, f: jax.Array, k: int,
                       use_fused: bool = True, fast: bool = False) -> jax.Array:
     """EdgeConv edge features concat([f_i, f_j - f_i]) with the graph built
@@ -147,15 +165,9 @@ def edge_feature_auto(g: jax.Array, f: jax.Array, k: int,
 
     ``fast`` selects packed-min top-k (near-ties may reorder, 98.7-99.7%
     index agreement — see ops/knn_pallas.py)."""
-    if use_fused and jax.default_backend() in ("tpu", "axon"):
-        if f.dtype == jnp.bfloat16:
-            from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import (
-                edge_feature_fused,
-            )
-
-            return edge_feature_fused(g, f, k, fast=fast)
-        return edge_feature(f, knn_graph_fused(g, k, fast=fast))
-    return edge_feature(f, knn_graph(g, k))
+    nbr = neighbor_features_auto(g, f, k, use_fused, fast)
+    central = jnp.broadcast_to(f[:, :, None, :], nbr.shape)
+    return jnp.concatenate([central, nbr - central], axis=-1)
 
 
 def knn_graph_fused(x: jax.Array, k: int, fast: bool = False) -> jax.Array:
