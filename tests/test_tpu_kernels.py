@@ -124,3 +124,42 @@ def test_fused_fast_gathers_its_own_indices_on_device(data):
     np.testing.assert_array_equal(
         np.asarray(nbr.astype(jnp.float32)),
         np.asarray(want.astype(jnp.float32)))
+
+
+def test_full_train_step_on_device():
+    """Compiled flagship Full-style train step (all Pallas kernels, bf16 +
+    fast selection) executes on the chip with finite loss/metrics."""
+    import dataclasses
+    from weaksuppointcloudseg_tpu import configs
+    from weaksuppointcloudseg_tpu.train.state import create_train_state
+    from weaksuppointcloudseg_tpu.train.steps import make_train_step
+    from weaksuppointcloudseg_tpu.utils.tools import onehot_encode
+
+    cfg = configs.shapenet_config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, num_points=512,
+                                  compute_dtype="bfloat16", knn_fast=True),
+        train=dataclasses.replace(cfg.train, batch_size=4, style="Full"),
+    )
+    rng = np.random.default_rng(0)
+    n, b, k = 512, 8, cfg.model.num_classes
+    seg = rng.integers(0, k, (b, n))
+    batch = jax.device_put({
+        "data": rng.standard_normal((b, n, 3)).astype(np.float32),
+        "seg": seg.astype(np.int32),
+        "seg_onehot": onehot_encode(seg, k),
+        "mask": (rng.uniform(size=(b, n)) < 0.1).astype(np.float32),
+        "cat_onehot": onehot_encode(
+            rng.integers(0, cfg.model.num_categories, (b,)),
+            cfg.model.num_categories),
+        "valid": np.ones((b,), np.float32),
+    })
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_train_step(cfg)
+    state, metrics = step(state, batch, np.float32(1.0), jax.random.PRNGKey(1))
+    state, metrics = step(state, batch, np.float32(1.0), jax.random.PRNGKey(2))
+    for name in ("total", "seg", "siamese", "inexact", "smooth", "acc"):
+        v = float(metrics[name])
+        assert np.isfinite(v), f"{name} non-finite: {v}"
+    assert int(state.step) == 2
