@@ -165,3 +165,28 @@ class TestIndoor3DDormant:
         assert obj.count("\nv ") + obj.startswith("v ") == 24  # 3 boxes x 8
         assert obj.count("\nf ") == 18  # 3 boxes x 6 quads
         assert os.path.exists(prefix + ".mtl")
+
+
+class TestVoxelization:
+    def test_volume_roundtrip(self, rng):
+        from weaksuppointcloudseg_tpu.utils import pointcloud_io as pio
+        pts = rng.uniform(-0.9, 0.9, (50, 3)).astype(np.float32)
+        vol = pio.point_cloud_to_volume(pts, 16)
+        assert vol.shape == (16, 16, 16)
+        assert 0 < vol.sum() <= 50
+        back = pio.volume_to_point_cloud(vol)
+        assert back.shape[1] == 3 and len(back) == vol.sum()
+        # every original point maps into an occupied voxel
+        loc = np.clip(((pts + 1.0) / (2.0 / 16)).astype(int), 0, 15)
+        assert vol[loc[:, 0], loc[:, 1], loc[:, 2]].all()
+
+    def test_batch_and_views(self, rng):
+        from weaksuppointcloudseg_tpu.utils import pointcloud_io as pio
+        pcs = rng.uniform(-1, 1, (3, 40, 3)).astype(np.float32)
+        flat = pio.point_cloud_to_volume_batch(pcs, vsize=8)
+        assert flat.shape == (3, 512)
+        cube = pio.point_cloud_to_volume_batch(pcs, vsize=8, flatten=False)
+        assert cube.shape == (3, 8, 8, 8, 1)
+        img = pio.point_cloud_three_views(pcs[0], resolution=64)
+        assert img.shape == (64, 192)
+        assert img.max() > 0

@@ -133,3 +133,45 @@ def point_cloud_to_image(points: np.ndarray, resolution: int = 256,
         img = out
     m = img.max()
     return img / m if m > 0 else img
+
+
+def point_cloud_to_volume(points: np.ndarray, vsize: int,
+                          radius: float = 1.0) -> np.ndarray:
+    """Binary occupancy voxelization of a cloud assumed inside a sphere of
+    ``radius`` (pc_util.py:41-53): [vsize, vsize, vsize] float 0/1."""
+    vol = np.zeros((vsize, vsize, vsize), np.float32)
+    voxel = 2 * radius / vsize
+    loc = ((np.asarray(points) + radius) / voxel).astype(int)
+    loc = np.clip(loc, 0, vsize - 1)
+    vol[loc[:, 0], loc[:, 1], loc[:, 2]] = 1.0
+    return vol
+
+
+def point_cloud_to_volume_batch(point_clouds: np.ndarray, vsize: int = 12,
+                                radius: float = 1.0,
+                                flatten: bool = True) -> np.ndarray:
+    """Batch voxelization (pc_util.py:24-38): [B, vsize^3] when flattened,
+    else [B, vsize, vsize, vsize, 1]."""
+    vols = np.stack([point_cloud_to_volume(pc, vsize, radius)
+                     for pc in point_clouds])
+    if flatten:
+        return vols.reshape(len(vols), -1)
+    return vols[..., None]
+
+
+def volume_to_point_cloud(vol: np.ndarray) -> np.ndarray:
+    """Occupied-voxel indices as an [M, 3] cloud (pc_util.py:56-74)."""
+    vol = np.asarray(vol)
+    assert vol.ndim == 3 and len(set(vol.shape)) == 1
+    return np.argwhere(vol > 0.5).astype(np.float32)
+
+
+def point_cloud_three_views(points: np.ndarray,
+                            resolution: int = 256) -> np.ndarray:
+    """Concatenated orthographic depth images from three viewpoints
+    (pc_util.py:156-168): [resolution, 3 * resolution] grayscale."""
+    pts = np.asarray(points, np.float32)
+    views = []
+    for perm in ((0, 1, 2), (2, 0, 1), (1, 2, 0)):
+        views.append(point_cloud_to_image(pts[:, perm], resolution))
+    return np.concatenate(views, axis=1)
