@@ -93,3 +93,15 @@ def test_propagate_batch_solver_dispatch(problem):
     for solver in ("cg", "cg_matfree", "sharded"):
         np.testing.assert_allclose(outs[solver], outs["solve"],
                                    rtol=5e-3, atol=1e-4)
+
+
+def test_sharded_dispatch_handles_indivisible_n(rng):
+    """N=100 on an 8-device host: the dispatcher must pick a mesh size
+    that divides N (here 5) instead of crashing."""
+    n, k = 100, 4
+    x = jnp.asarray(rng.standard_normal((1, n, 3)).astype(np.float32) * 0.3)
+    logits = rng.standard_normal((1, n, k)).astype(np.float32) * 2
+    g = jnp.asarray(np.exp(logits) / np.exp(logits).sum(-1, keepdims=True))
+    got = np.asarray(propagate_batch(x, g, solver="sharded", cg_iters=300))
+    want = np.asarray(propagate_batch(x, g, solver="solve"))
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-4)

@@ -119,7 +119,8 @@ def smooth_knn_laplacian(
     if on_tpu:
         from weaksuppointcloudseg_tpu.ops.knn_pallas import knn_pallas
 
-        idx, sqd = knn_pallas(jax.lax.stop_gradient(x), k, with_values=True)
+        idx, sqd = knn_pallas(jax.lax.stop_gradient(x), k, with_values=True,
+                              fast=fast)
         w = jnp.exp(-jnp.maximum(sqd, 0.0) / gamma)
     else:
         d = knn_ops.pairwise_sqdist(jax.lax.stop_gradient(x))

@@ -240,15 +240,6 @@ def knn_gather(g, f, k: int, row_tile: int = 256, interpret: bool = False,
         interpret, fast)
 
 
-def _knn_gather_fwd(g, f, k, row_tile, interpret, fast):
-    idx, nbr = _knn_gather_fwd_impl(
-        jax.lax.stop_gradient(g), jax.lax.stop_gradient(f), k, row_tile,
-        interpret, fast)
-    # zeros_like placeholders carry shape/dtype through the residual pytree
-    # (XLA dead-code-eliminates them; only idx is materialized)
-    return (idx, nbr), (idx, jnp.zeros_like(g), jnp.zeros_like(f))
-
-
 def _scatter_back(idx, g_nbr, f_zeros, interpret):
     b, n, _ = f_zeros.shape
     if not interpret and jax.default_backend() in ("tpu", "axon"):
@@ -261,14 +252,29 @@ def _scatter_back(idx, g_nbr, f_zeros, interpret):
     return f_zeros.at[bidx, idx].add(g_nbr.astype(f_zeros.dtype))
 
 
-def _knn_gather_bwd(k, row_tile, interpret, fast, res, cts):
-    idx, g_zeros, f_zeros = res
-    _, g_nbr = cts  # cotangent of the neighbor features [B, N, k, Cf]
-    df = _scatter_back(idx, g_nbr, f_zeros, interpret)
-    return (g_zeros, df)  # selection is non-differentiable -> zero dg
+def _make_vjp(with_values: bool):
+    """Shared fwd/bwd pair: the two public entry points differ only in the
+    gradient-free sqdist output, so one definition serves both (a fix to
+    the residual/scatter logic cannot drift between them)."""
+
+    def fwd(g, f, k, row_tile, interpret, fast):
+        out = _knn_gather_fwd_impl(
+            jax.lax.stop_gradient(g), jax.lax.stop_gradient(f), k, row_tile,
+            interpret, fast, with_values=with_values)
+        # zeros_like placeholders carry shape/dtype through the residual
+        # pytree (XLA dead-code-eliminates them; only idx is materialized)
+        return out, (out[0], jnp.zeros_like(g), jnp.zeros_like(f))
+
+    def bwd(k, row_tile, interpret, fast, res, cts):
+        idx, g_zeros, f_zeros = res
+        g_nbr = cts[1]  # cotangent of the neighbor features [B, N, k, Cf]
+        df = _scatter_back(idx, g_nbr, f_zeros, interpret)
+        return (g_zeros, df)  # selection is non-differentiable -> zero dg
+
+    return fwd, bwd
 
 
-knn_gather.defvjp(_knn_gather_fwd, _knn_gather_bwd)
+knn_gather.defvjp(*_make_vjp(with_values=False))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -282,21 +288,7 @@ def knn_gather_with_sqdist(g, f, k: int, row_tile: int = 256,
         interpret, fast, with_values=True)
 
 
-def _knn_gather_ws_fwd(g, f, k, row_tile, interpret, fast):
-    idx, nbr, vals = _knn_gather_fwd_impl(
-        jax.lax.stop_gradient(g), jax.lax.stop_gradient(f), k, row_tile,
-        interpret, fast, with_values=True)
-    return (idx, nbr, vals), (idx, jnp.zeros_like(g), jnp.zeros_like(f))
-
-
-def _knn_gather_ws_bwd(k, row_tile, interpret, fast, res, cts):
-    idx, g_zeros, f_zeros = res
-    _, g_nbr, _ = cts
-    df = _scatter_back(idx, g_nbr, f_zeros, interpret)
-    return (g_zeros, df)
-
-
-knn_gather_with_sqdist.defvjp(_knn_gather_ws_fwd, _knn_gather_ws_bwd)
+knn_gather_with_sqdist.defvjp(*_make_vjp(with_values=True))
 
 
 def edge_feature_fused(g: jax.Array, f: jax.Array, k: int,

@@ -47,6 +47,9 @@ def _scatter_kernel(idx_ref, ct_ref, out_ref, *, n_pad: int, k: int, c: int,
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
+    # accumulate the k slot contributions AND the cross-tile revisits in
+    # f32 (the output block is f32 regardless of cotangent dtype) — a
+    # high-in-degree point sums hundreds of terms
     acc = jnp.zeros_like(out_ref[0])
     for j in range(k):
         onehot = (col_ids == idxt[:, j:j + 1]).astype(op_dtype)
@@ -55,7 +58,7 @@ def _scatter_kernel(idx_ref, ct_ref, out_ref, *, n_pad: int, k: int, c: int,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc = acc + contrib.astype(out_ref.dtype)
+        acc = acc + contrib
     out_ref[0] += acc
 
 
@@ -104,7 +107,8 @@ def scatter_add_pallas(
         ],
         out_specs=pl.BlockSpec((1, n_pad, c), lambda bi, i: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, c), g.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32),
         interpret=interpret,
     )(idx_r, g_r)
-    return out[:, :n]
+    # one final rounding to the cotangent dtype instead of ~k per-slot ones
+    return out[:, :n].astype(g.dtype)

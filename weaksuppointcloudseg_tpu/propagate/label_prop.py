@@ -194,12 +194,19 @@ def propagate_batch(
             ridge=ridge, cg_iters=cg_iters,
         )
     if solver == "sharded":
+        import jax as _jax
+
         from weaksuppointcloudseg_tpu.parallel import make_mesh
         from weaksuppointcloudseg_tpu.propagate.sharded import (
             label_propagation_sharded,
         )
 
-        mesh = make_mesh()
+        # the point axis is split over the mesh: use the largest device
+        # count that divides N (a 3000-point cloud on a 16-device host
+        # gets an 8-device mesh, not a crash)
+        n = xyz.shape[-2]
+        d = _largest_divisor_at_most(n, len(_jax.devices()))
+        mesh = make_mesh(d)
         return label_propagation_sharded(
             mesh, xyz, g, rgb, alpha=alpha, beta=beta,
             xyz_bandwidth=xyz_bandwidth, rgb_bandwidth=rgb_bandwidth,

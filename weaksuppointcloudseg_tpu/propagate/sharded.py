@@ -62,7 +62,7 @@ def label_propagation_sharded(
     cg_iters: int = 50,
     sym: bool = True,
 ) -> jax.Array:
-    """Y_prob via point-axis-sharded CG. N must divide the mesh size.
+    """Y_prob via point-axis-sharded CG. The mesh size must divide N.
 
     ``sym=True`` (default) solves with the symmetric-normalized Laplacian —
     the variant the reference's test path uses (Util/Tool.py:435-467) — at

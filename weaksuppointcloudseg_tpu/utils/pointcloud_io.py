@@ -168,10 +168,16 @@ def volume_to_point_cloud(vol: np.ndarray) -> np.ndarray:
 
 def point_cloud_three_views(points: np.ndarray,
                             resolution: int = 256) -> np.ndarray:
-    """Concatenated orthographic depth images from three viewpoints
-    (pc_util.py:156-168): [resolution, 3 * resolution] grayscale."""
+    """Concatenated depth renders from the reference's three rotated
+    viewpoints — (z, x) = (110deg, 45deg), (70deg, 135deg), (180deg, 90deg)
+    (pc_util.py:156-168, rotation M = euler2mat(zrot, yrot, xrot)):
+    [resolution, 3 * resolution] grayscale."""
+    from weaksuppointcloudseg_tpu.utils.rotations import euler2mat
+
     pts = np.asarray(points, np.float32)
     views = []
-    for perm in ((0, 1, 2), (2, 0, 1), (1, 2, 0)):
-        views.append(point_cloud_to_image(pts[:, perm], resolution))
+    for z_deg, x_deg in ((110, 45), (70, 135), (180, 90)):
+        m = euler2mat(z=np.deg2rad(z_deg), x=np.deg2rad(x_deg))
+        views.append(point_cloud_to_image(pts @ m.T.astype(np.float32),
+                                          resolution))
     return np.concatenate(views, axis=1)
