@@ -163,3 +163,26 @@ def test_full_train_step_on_device():
         v = float(metrics[name])
         assert np.isfinite(v), f"{name} non-finite: {v}"
     assert int(state.step) == 2
+
+
+def test_ragged_n_fused_kernels_on_device():
+    """Non-tile-multiple N exercises the column-padding semantics of the
+    compiled kernels (padded columns pushed to +inf / no-match)."""
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import knn_gather
+    from weaksuppointcloudseg_tpu.ops.knn_pallas import knn_pallas
+    from weaksuppointcloudseg_tpu.ops import neighbors as knn_ops
+
+    rng = np.random.default_rng(1)
+    n = 1000  # pads to 1024
+    g = jax.device_put(rng.standard_normal((2, n, 3)).astype(np.float32))
+    f = jax.device_put(
+        rng.standard_normal((2, n, 16)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    want_idx = np.asarray(knn_ops.knn(knn_ops.pairwise_sqdist(g), 12))
+    assert want_idx.max() < n
+    np.testing.assert_array_equal(np.asarray(knn_pallas(g, 12)), want_idx)
+    idx, nbr = knn_gather(g, f, 12)
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+    np.testing.assert_array_equal(
+        np.asarray(nbr.astype(jnp.float32)),
+        np.asarray(knn_ops.gather_neighbors(f, idx).astype(jnp.float32)))

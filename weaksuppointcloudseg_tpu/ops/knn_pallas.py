@@ -47,7 +47,9 @@ def _knn_kernel_fast(rows_ref, all_ref, out_ref, val_ref, *, k: int,
     SINGLE min per round (2 VPU passes/round vs 4 for the exact kernel).
     The low ``idx_bits`` mantissa bits of d are sacrificed — neighbors whose
     distances agree to ~2^-(23-idx_bits) relative may swap order vs
-    ``lax.top_k``. Opt-in via ``knn_pallas(..., fast=True)``.
+    ``lax.top_k``. Selected via ``knn_pallas(..., fast=True)``; part of the
+    recommended fast config after the end-to-end accuracy A/B
+    (docs/kernels.md), while the parity default stays exact.
     """
     rows = rows_ref[0]
     allp = all_ref[0]
