@@ -109,6 +109,9 @@ def scatter_add_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32),
         interpret=interpret,
+        # the f32 output block + f32 acc push N=4096 shapes ~0.4 MB past
+        # Mosaic's default 16 MB scoped-vmem budget; the chip has headroom
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 << 20),
     )(idx_r, g_r)
     # one final rounding to the cotangent dtype instead of ~k per-slot ones
     return out[:, :n].astype(g.dtype)
