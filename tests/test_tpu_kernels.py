@@ -186,3 +186,23 @@ def test_ragged_n_fused_kernels_on_device():
     np.testing.assert_array_equal(
         np.asarray(nbr.astype(jnp.float32)),
         np.asarray(knn_ops.gather_neighbors(f, idx).astype(jnp.float32)))
+
+
+def test_scatter_s3dis_shape_compiles_on_device():
+    """Regression guard: the N=4096 scatter (S3DIS flagship backward) once
+    exceeded Mosaic's default scoped-vmem budget with the f32 output
+    block — it must compile and match XLA."""
+    from weaksuppointcloudseg_tpu.ops.scatter_pallas import scatter_add_pallas
+
+    rng = np.random.default_rng(2)
+    b, n, k, c = 2, 4096, 20, 64
+    idx = jax.device_put(rng.integers(0, n, (b, n, k)).astype(np.int32))
+    ct = jax.device_put(
+        rng.standard_normal((b, n, k, c)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    got = np.asarray(scatter_add_pallas(idx, ct, n).astype(jnp.float32))
+    bidx = jnp.arange(b)[:, None, None]
+    want = np.asarray(jnp.zeros((b, n, c), jnp.float32).at[bidx, idx].add(
+        ct.astype(jnp.float32)))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=5e-3 * scale)

@@ -210,6 +210,11 @@ def _knn_gather_fwd_impl(
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=interpret,
+        # headroom past Mosaic's default 16 MB scoped-vmem budget: the
+        # distance tile cap above only models the [TM, Np] f32 tile, not
+        # the nbr output block / packed copy (a row_tile=512 call at small
+        # Cf lands ~36 KB over the default)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 << 20),
     )(g, g, f)
     idx, nbr = outs[0], outs[1]
     nbr = nbr[:, :n].reshape(b, n, k, cf_pad)
