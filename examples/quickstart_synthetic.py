@@ -13,7 +13,10 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import tempfile
+
+import numpy as np
 
 
 def main() -> None:
@@ -75,6 +78,21 @@ def main() -> None:
                        use_label_prop=True)
     print(f"test (+label propagation): perdata mIoU="
           f"{100 * res['perdata_miou']:.1f}% acc={100 * res['accuracy']:.1f}%")
+
+    # serving: freeze the trained forward into a portable StableHLO artifact
+    from weaksuppointcloudseg_tpu.utils.export import (
+        export_inference, load_inference)
+
+    artifact = os.path.join(workdir, "model.stablehlo")
+    export_inference(cfg, trainer.state.params, trainer.state.bn_state,
+                     artifact, batch_size=2, platforms=("cpu",))
+    serve, meta = load_inference(artifact)
+    x = np.asarray(ds.batches("val", 2).__next__().data[:2], np.float32)
+    cat = np.zeros((2, cfg.model.num_categories), np.float32)
+    cat[:, 0] = 1.0
+    prob = np.asarray(serve(x, cat))
+    print(f"serving export: {meta['num_points']}-pt artifact, prob shape "
+          f"{prob.shape}, rows sum to {prob.sum(-1).mean():.3f}")
 
 
 if __name__ == "__main__":
