@@ -104,3 +104,175 @@ def test_graph_source_gets_zero_grad(rng):
     f = jnp.asarray(rng.standard_normal((b, n, 5)), jnp.float32)
     dg = jax.grad(lambda g: jnp.sum(knn_gather(g, f, k, 256, True)[1]))(g)
     np.testing.assert_array_equal(np.asarray(dg), 0.0)
+
+
+def test_weighted_gather_matches_reference(rng):
+    """knn_weighted_gather == exp(-topk_d/gamma)-weighted sum of gathered
+    rows; w == the weights; gradient == the unfused formulation's
+    (f32 end-to-end in interpret mode, so only f32 reassociation differs)."""
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import (
+        knn_weighted_gather,
+    )
+
+    b, n, cf, k, gamma = 2, 200, 17, 10, 0.1
+    g = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    f0 = jnp.asarray(rng.standard_normal((b, n, cf)), jnp.float32)
+
+    idx, s, w = knn_weighted_gather(g, f0, k, gamma, 256, True)
+    d = knn_ops.pairwise_sqdist(g)
+    neg_vals, want_idx = jax.lax.top_k(-d, k)
+    want_w = jnp.exp(-jnp.maximum(-neg_vals, 0.0) / gamma)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_idx))
+    # exp amplifies the distance-decomposition fp residue by 1/gamma
+    np.testing.assert_allclose(np.asarray(w), np.asarray(want_w), rtol=1e-4)
+    want_s = jnp.sum(
+        want_w[..., None] * knn_ops.gather_neighbors(f0, want_idx), axis=2)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(want_s),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(f):
+        _, s, w = knn_weighted_gather(g, f, k, gamma, 256, True)
+        return jnp.sum(jnp.sin(s)) + 0.5 * jnp.sum(jnp.square(s))
+
+    def loss_ref(f):
+        s = jnp.sum(
+            want_w[..., None] * knn_ops.gather_neighbors(f, want_idx), axis=2)
+        return jnp.sum(jnp.sin(s)) + 0.5 * jnp.sum(jnp.square(s))
+
+    np.testing.assert_allclose(float(loss(f0)), float(loss_ref(f0)),
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss)(f0)), np.asarray(jax.grad(loss_ref)(f0)),
+        rtol=1e-4, atol=1e-4)
+
+
+def test_weighted_gather_self_is_unit_weight(rng):
+    """Each point's nearest neighbor is itself (d=0 -> w=exp(0)=1), matching
+    the reference's self-included kNN (Util/SmoothConstraint.py:140-158)."""
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import (
+        knn_weighted_gather,
+    )
+
+    b, n = 1, 64
+    g = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    idx, _, w = knn_weighted_gather(g, g, 4, 0.1, 256, True)
+    np.testing.assert_array_equal(np.asarray(idx[..., 0]),
+                                  np.arange(n)[None].repeat(b, 0))
+    # self-distance carries ~1e-6 fp residue (reference exp(-D/gamma) too)
+    np.testing.assert_allclose(np.asarray(w[..., 0]), 1.0, atol=1e-4)
+
+
+def test_knn_edge_gather_matches_composition(rng):
+    """knn_edge_gather == gather(v, knn(g)) + u (f32 interpret mode: only
+    reassociation differs); moments == sums of y; gradient == the
+    composition's."""
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import knn_edge_gather
+
+    b, n, co, k = 2, 200, 17, 8
+    g = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    v0 = jnp.asarray(rng.standard_normal((b, n, co)), jnp.float32)
+    u0 = jnp.asarray(rng.standard_normal((b, n, co)), jnp.float32)
+
+    idx, y, mom = knn_edge_gather(g, v0, u0, k, 256, True)
+    want_idx = knn_ops.knn_graph(g, k)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_idx))
+    want_y = knn_ops.gather_neighbors(v0, want_idx) + u0[:, :, None, :]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want_y),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mom[0]),
+                               np.asarray(jnp.sum(want_y, axis=(0, 1, 2))),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(mom[1]),
+        np.asarray(jnp.sum(jnp.square(want_y), axis=(0, 1, 2))),
+        rtol=1e-4, atol=1e-4)
+
+    def loss(v, u):
+        _, y, mom = knn_edge_gather(g, v, u, k, 256, True)
+        return (jnp.sum(jnp.sin(y)) + jnp.sum(mom[0] * 0.5)
+                + jnp.sum(jnp.sqrt(mom[1] + 1.0)))
+
+    def loss_ref(v, u):
+        y = knn_ops.gather_neighbors(v, want_idx) + u[:, :, None, :]
+        return (jnp.sum(jnp.sin(y)) + jnp.sum(jnp.sum(y, (0, 1, 2)) * 0.5)
+                + jnp.sum(jnp.sqrt(jnp.sum(jnp.square(y), (0, 1, 2)) + 1.0)))
+
+    np.testing.assert_allclose(float(loss(v0, u0)), float(loss_ref(v0, u0)),
+                               rtol=1e-5)
+    gv, gu = jax.grad(loss, (0, 1))(v0, u0)
+    rv, ru = jax.grad(loss_ref, (0, 1))(v0, u0)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(rv),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(ru),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_knn_edge_gather_ragged_rows_moments(rng):
+    """N not a tile multiple: padded rows must not contaminate moments."""
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import knn_edge_gather
+
+    b, n, co, k = 1, 37, 5, 4
+    g = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, co)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((b, n, co)), jnp.float32)
+    idx, y, mom = knn_edge_gather(g, v, u, k, 16, True)
+    want_idx = knn_ops.knn_graph(g, k)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_idx))
+    want_y = knn_ops.gather_neighbors(v, want_idx) + u[:, :, None, :]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want_y),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mom[0]),
+                               np.asarray(jnp.sum(want_y, (0, 1, 2))),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_edge_conv_layer_matches_straight(rng):
+    """apply_edge_conv_knn_fused == apply_edge_conv(gather) in f32
+    interpret mode: outputs, BN state update, and parameter grads."""
+    from weaksuppointcloudseg_tpu.models import layers
+
+    b, n, c, co, k = 2, 96, 6, 10, 5
+    f = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    params, state = layers.init_conv(jax.random.PRNGKey(0), 2 * c, co)
+
+    def fused(params):
+        h, st = layers.apply_edge_conv_knn_fused(
+            params, state, f, g, k, training=True, bn_decay=0.9,
+            interpret=True)
+        return h, st
+
+    def straight(params):
+        nbr = knn_ops.gather_neighbors(f, knn_ops.knn_graph(g, k))
+        return layers.apply_edge_conv(params, state, f, nbr,
+                                      training=True, bn_decay=0.9)
+
+    hf, stf = fused(params)
+    hs, sts = straight(params)
+    np.testing.assert_allclose(np.asarray(hf), np.asarray(hs),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(stf["mean"]),
+                               np.asarray(sts["mean"]), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(stf["var"]),
+                               np.asarray(sts["var"]), rtol=1e-3, atol=1e-6)
+
+    gf = jax.grad(lambda p: jnp.sum(jnp.square(fused(p)[0])))(params)
+    gs = jax.grad(lambda p: jnp.sum(jnp.square(straight(p)[0])))(params)
+    # db is analytically ~0 (BN absorbs the bias): both sides are fp noise
+    # there, so judge atol against the overall gradient scale
+    gscale = max(float(np.abs(np.asarray(gs[key])).max()) for key in gs)
+    for key in gf:
+        np.testing.assert_allclose(
+            np.asarray(gf[key]), np.asarray(gs[key]), rtol=1e-3,
+            atol=1e-3 * gscale, err_msg=f"grad mismatch for {key}")
+
+    # input-feature gradient through the hand-written VJP
+    dff = jax.grad(lambda f_: jnp.sum(jnp.square(layers.apply_edge_conv_knn_fused(
+        params, state, f_, g, k, training=True, bn_decay=0.9,
+        interpret=True)[0])))(f)
+    dfs = jax.grad(lambda f_: jnp.sum(jnp.square(layers.apply_edge_conv(
+        params, state, f_,
+        knn_ops.gather_neighbors(f_, knn_ops.knn_graph(g, k)),
+        training=True, bn_decay=0.9)[0])))(f)
+    np.testing.assert_allclose(np.asarray(dff), np.asarray(dfs),
+                               rtol=1e-3, atol=1e-4)

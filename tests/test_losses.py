@@ -137,3 +137,28 @@ def test_losses_differentiable(rng):
 
     g = jax.grad(f)(logits)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_smooth_loss_aggregate_identity(rng):
+    """The fused-path identity sum_j w_j|P_n - P_j|^2 =
+    s0|P_n|^2 - 2 P_n . s1 + s2 (losses/weaksup.py fused_bf16 branch),
+    evaluated here in f32 through the interpret-mode kernel so only f32
+    reassociation separates it from the direct formulation."""
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import (
+        knn_weighted_gather,
+    )
+
+    B, N, K, k, gamma = 2, 48, 7, 6, 0.1
+    prob = jnp.asarray(_softmax(rng.normal(size=(B, N, K)).astype(np.float32)))
+    x = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+
+    want = float(smooth_knn_laplacian(prob, x, gamma=gamma, k=k))
+
+    q = jnp.sum(jnp.square(prob), axis=-1)
+    f = jnp.concatenate([prob, q[..., None]], axis=-1)  # f32: exact
+    _, s, w = knn_weighted_gather(x, f, k, gamma, 256, True)
+    s0 = jnp.sum(w, axis=-1)
+    per_point = (s0 * q - 2.0 * jnp.sum(prob * s[..., :K], axis=-1)
+                 + s[..., K])
+    got = float(jnp.mean(per_point) / (k * K))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-7)

@@ -28,3 +28,38 @@ def test_duplicate_targets_accumulate(rng):
                                         interpret=True))
     np.testing.assert_allclose(out[0, 0], 64.0)
     np.testing.assert_allclose(out[0, 1:], 0.0)
+
+
+def test_weighted_scatter_matches_xla(rng):
+    from weaksuppointcloudseg_tpu.ops.scatter_pallas import (
+        scatter_add_weighted_pallas,
+    )
+
+    b, p, k, c, n = 2, 96, 6, 17, 64
+    idx = jnp.asarray(rng.integers(0, n, (b, p, k)), jnp.int32)
+    w = jnp.asarray(rng.uniform(0, 1, (b, p, k)), jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((b, p, c)), jnp.float32)
+    got = np.asarray(scatter_add_weighted_pallas(
+        idx, w, ct, n, tile_rows=32, interpret=True))
+    want = jnp.zeros((b, n, c), jnp.float32)
+    bidx = jnp.arange(b)[:, None, None]
+    want = want.at[bidx, idx].add(w[..., None] * ct[:, :, None, :])
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_weighted_scatter_ragged_rows(rng):
+    """Padded rows (p not a tile multiple) must contribute nothing."""
+    from weaksuppointcloudseg_tpu.ops.scatter_pallas import (
+        scatter_add_weighted_pallas,
+    )
+
+    b, p, k, c, n = 1, 37, 3, 5, 40
+    idx = jnp.asarray(rng.integers(0, n, (b, p, k)), jnp.int32)
+    w = jnp.asarray(rng.uniform(0, 1, (b, p, k)), jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((b, p, c)), jnp.float32)
+    got = np.asarray(scatter_add_weighted_pallas(
+        idx, w, ct, n, tile_rows=16, interpret=True))
+    want = jnp.zeros((b, n, c), jnp.float32)
+    bidx = jnp.arange(b)[:, None, None]
+    want = want.at[bidx, idx].add(w[..., None] * ct[:, :, None, :])
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-5)

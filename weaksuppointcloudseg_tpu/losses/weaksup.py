@@ -89,33 +89,44 @@ def smooth_knn_laplacian(
     0:6 — pass ``channels=(0, 6)``) and neighbors the k nearest (self
     included, weight exp(0)=1).
 
-    ``fused_bf16``: run the distance + top-k + prob gather as ONE fused
-    Pallas kernel with the probabilities gathered in bf16 (the in-kernel
-    MXU gather is bit-exact for bf16; the neighbor probs round to ~3
-    decimal digits). Distances/weights stay f32. Used by the bf16
-    compute-dtype fast configs — measured ~2x faster than the separate
-    kNN + XLA f32 gather at B=64, N=2048, k=10, 50 classes.
+    ``fused_bf16``: evaluate the loss from exp-weighted neighbor
+    AGGREGATES computed in one fused Pallas kernel (probabilities gathered
+    in bf16 — bit-exact per element; weights/accumulation f32), using
+
+        sum_j w_j |P_n - P_j|^2 = (sum_j w_j)|P_n|^2 - 2 P_n . s1_n + s2_n
+        s1_n = sum_j w_j P_j,   s2_n = sum_j w_j |P_j|^2
+
+    so the [B, N, k, K] neighbor-prob tensor of the direct formulation
+    never exists — forward OR backward (the VJP scatters the k-fold
+    smaller [B, N, K] cotangent, weighted by w). Same math as the direct
+    path on the same bf16-rounded P_j up to f32 reassociation. Used by
+    the bf16 compute-dtype fast configs — measured 13.8 -> 6.0 ms
+    fwd+bwd (incl. softmax) at B=64, N=2048, k=10, 50 classes vs the
+    round-2 gather-then-diff fused kernel.
     """
     if channels is not None:
         x = x[..., channels[0]:channels[1]]
     # The weights depend only on the *input* x (never on params), so the
     # whole distance/top-k side is gradient-free; on TPU it runs through the
     # fused Pallas kernel (no B x N x N in HBM). Gradients flow to the
-    # network only through prob / its neighbor gather.
+    # network only through prob / its neighbor aggregates.
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if fused_bf16 and on_tpu:
         from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import (
-            knn_gather_with_sqdist,
+            knn_weighted_gather,
         )
 
-        _, p_nbr, sqd = knn_gather_with_sqdist(
-            jax.lax.stop_gradient(x), prob.astype(jnp.bfloat16), k,
-            256, False, fast)
-        w = jnp.exp(-jnp.maximum(sqd, 0.0) / gamma)
-        diff2 = jnp.mean(
-            jnp.square(prob[:, :, None, :] - p_nbr.astype(prob.dtype)),
-            axis=-1)  # [B, N, k]
-        return jnp.mean(w * diff2)
+        n_cls = prob.shape[-1]
+        q = jnp.sum(jnp.square(prob), axis=-1)  # [B, N] |P_n|^2
+        f = jnp.concatenate([prob, q[..., None]], axis=-1).astype(
+            jnp.bfloat16)
+        _, s, w = knn_weighted_gather(
+            jax.lax.stop_gradient(x), f, k, gamma, 256, False, fast)
+        s1 = s[..., :n_cls]
+        s2 = s[..., n_cls]
+        s0 = jnp.sum(w, axis=-1)  # [B, N] sum of weights (grad-free)
+        per_point = s0 * q - 2.0 * jnp.sum(prob * s1, axis=-1) + s2
+        return jnp.mean(per_point) / (k * n_cls)
     if on_tpu:
         from weaksuppointcloudseg_tpu.ops.knn_pallas import knn_pallas
 

@@ -118,13 +118,22 @@ def apply_dgcnn_seg(
     # --- Spatial transform branch (ShapeNet only) ---
     if cfg.use_transform_net:
         g = _knn_input(x, cfg)
+        # NOTE: the fused kNN+conv front (apply_transform_net's fused_graph
+        # mode) measured 136 -> 148 ms/step HERE and is deliberately NOT
+        # used: the transform input is raw data (no gradient), so the
+        # straight path's edge-feature cotangent is dead code XLA removes —
+        # while the fused layer's dW_bot = f^T @ scatter(dy) identity makes
+        # the 7.4 ms Pallas scatter a REQUIRED dependency of the weight
+        # gradients. The EdgeConv stages keep the fused layer because their
+        # df is live and already pays that scatter.
         ef = knn_ops.edge_feature_auto(
             g, g.astype(compute_dtype), cfg.k,
             use_fused=cfg.use_fused_knn, fast=cfg.knn_fast,
         )
         transform, new_state["transform_net"] = apply_transform_net(
             params["transform_net"], state["transform_net"], ef,
-            K=g.shape[-1], training=training, bn_decay=bn_decay, bn_eps=cfg.bn_eps,
+            K=g.shape[-1], training=training, bn_decay=bn_decay,
+            bn_eps=cfg.bn_eps,
         )
         x = jnp.einsum(
             "bnc,bcd->bnd", x, transform.astype(x.dtype),
@@ -139,19 +148,29 @@ def apply_dgcnn_seg(
     for s_i, widths in enumerate(cfg.edge_channels):
         src = graph_feat if s_i == 0 else stage_outputs[-1]
         f_in = feat if s_i == 0 else stage_outputs[-1]
-        # NOTE on decompositions tried here: the u_i + v_j FORWARD
-        # decomposition (layers.apply_edge_conv_first) measured *slower*
-        # (XLA fuses the concat into the conv, so the edge tensor it avoids
-        # is never materialized forward). The wins were (1) fusing the
-        # gather into the kNN selection loop (ops/edgeconv_pallas.py, via
-        # neighbor_features_auto) and (2) the d_ef-free BACKWARD of
-        # layers.edge_conv_matmul — forward stays the straight concat+conv.
-        nbr = knn_ops.neighbor_features_auto(
-            src, f_in, cfg.k, use_fused=cfg.use_fused_knn, fast=cfg.knn_fast
-        )
+        # Decomposition history (docs/kernels.md): the u_i + v_j split
+        # applied in plain XLA (layers.apply_edge_conv_first) measured
+        # *slower* — XLA re-materializes the gathered v. Applied INSIDE the
+        # fused kNN kernel (round 2.5, layers.apply_edge_conv_knn_fused)
+        # it wins: the gather of v is the selection round's existing mask
+        # matmul, so the edge tensor, neighbor tensor, and the big conv all
+        # vanish from HBM, and the BN moments accumulate in-kernel. bf16 +
+        # fused configs take that path; the parity path keeps the straight
+        # gather + concat + conv (+ the d_ef-free backward of
+        # layers.edge_conv_matmul).
         name = f"adj_conv{conv_i}"
-        h, new_state[name] = layers.apply_edge_conv(
-            params[name], state[name], f_in, nbr, **kw)
+        if (cfg.use_fused_knn and compute_dtype == jnp.bfloat16
+                and jax.default_backend() in ("tpu", "axon")):
+            h, new_state[name] = layers.apply_edge_conv_knn_fused(
+                params[name], state[name], f_in, src, cfg.k,
+                fast=cfg.knn_fast, **kw)
+        else:
+            nbr = knn_ops.neighbor_features_auto(
+                src, f_in, cfg.k, use_fused=cfg.use_fused_knn,
+                fast=cfg.knn_fast
+            )
+            h, new_state[name] = layers.apply_edge_conv(
+                params[name], state[name], f_in, nbr, **kw)
         conv_i += 1
         for w in widths[1:]:
             name = f"adj_conv{conv_i}"

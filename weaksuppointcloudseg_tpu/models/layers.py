@@ -22,6 +22,7 @@ Params and BN stats are fp32; compute may run in bfloat16 (config).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -95,6 +96,9 @@ def apply_conv(
 ) -> Tuple[jax.Array, State]:
     """conv (channel matmul) + bias [+ BN] [+ ReLU]. x: [..., in_c]."""
     w = params["w"].astype(x.dtype)
+    # NOTE: do NOT reshape 4-D activations to 2-D around this einsum — the
+    # TPU conv emitters pick batch-in-lanes layouts and the reshape then
+    # materializes layout copies (measured 136 -> 188 ms/step end-to-end).
     y = jnp.einsum("...i,io->...o", x, w, preferred_element_type=jnp.float32)
     y = y + params["b"]
     y = y.astype(x.dtype) if x.dtype != jnp.float32 else y
@@ -174,6 +178,164 @@ def apply_edge_conv(
     y, state = _batch_norm(y, params, state, training=training,
                            decay=bn_decay, eps=eps)
     return jax.nn.relu(y), state
+
+
+def _ecf_forward(k, eps, fast, interpret, w, b, gamma, beta, f, g_src):
+    """Primal math of the fused EdgeConv-conv1 + BN + ReLU block."""
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import _knn_edge_impl
+
+    c = f.shape[-1]
+    wc = w.astype(f.dtype)
+    w_top, w_bot = wc[:c], wc[c:]
+    u = jnp.einsum("...i,io->...o", f, w_top - w_bot,
+                   preferred_element_type=jnp.float32)
+    u = (u + b).astype(f.dtype)
+    v = jnp.einsum("...i,io->...o", f, w_bot,
+                   preferred_element_type=jnp.float32).astype(f.dtype)
+    idx, y, mom = _knn_edge_impl(
+        jax.lax.stop_gradient(g_src), jax.lax.stop_gradient(v),
+        jax.lax.stop_gradient(u), k, 256, interpret, fast)
+    r = y.shape[0] * y.shape[1] * y.shape[2]
+    mean = mom[0] / r
+    var = jnp.maximum(mom[1] / r - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    z = (y.astype(jnp.float32) - mean) * (inv * gamma) + beta
+    h = jax.nn.relu(z).astype(y.dtype)
+    return h, mean, var, idx, y, inv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _edge_conv_bn_relu_train(k, eps, fast, interpret, w, b, gamma, beta,
+                             f, g_src):
+    """Training-mode fused EdgeConv first conv + batch norm + ReLU with a
+    HAND-WRITTEN VJP.
+
+    Autodiff through the (y, moments) pair costs an extra full [B,N,k,C]
+    pass: the moment cotangents arrive as per-channel vectors that must be
+    broadcast-added onto dy (``dy_eff = dy + dmom0 + 2 y dmom1``, measured
+    1.9 ms/stage at the flagship shape). The standard batch-norm backward
+    already folds those terms:
+
+        dz = dh * 1[h > 0]
+        dy = inv * gamma * (dz - mean(dz) - xhat * mean(dz * xhat))
+        dgamma = sum(dz * xhat), dbeta = sum(dz)
+
+    and the conv backward then factors through the u/v decomposition
+    (du = sum_k dy, dv = scatter(idx, dy) — round-major Pallas kernel)
+    with only [B,N,C]-sized matmuls touching the weights. The
+    ``max(var, 0)`` clamp's gradient is treated as identity (the clamp
+    only binds in degenerate all-equal-activation cases).
+
+    Returns (h, mean, var); mean/var feed the (undifferentiated) BN state
+    update — their cotangents are ignored.
+    """
+    h, mean, var, _, _, _ = _ecf_forward(
+        k, eps, fast, interpret, w, b, gamma, beta, f, g_src)
+    return h, mean, var
+
+
+def _ecf_fwd(k, eps, fast, interpret, w, b, gamma, beta, f, g_src):
+    h, mean, var, idx, y, inv = _ecf_forward(
+        k, eps, fast, interpret, w, b, gamma, beta, f, g_src)
+    res = (idx, y, h, mean, inv, w, gamma, f, jnp.zeros_like(g_src))
+    return (h, mean, var), res
+
+
+def _ecf_bwd(k, eps, fast, interpret, res, cts):
+    idx, y, h, mean, inv, w, gamma, f, g_zeros = res
+    dh = cts[0]  # mean/var feed only the state update: zero cotangents
+    r = y.shape[0] * y.shape[1] * y.shape[2]
+
+    y32 = y.astype(jnp.float32)
+    xhat = (y32 - mean) * inv
+    dz = dh.astype(jnp.float32) * (h > 0)
+    a1 = jnp.sum(dz, axis=(0, 1, 2))          # = dbeta
+    a2 = jnp.sum(dz * xhat, axis=(0, 1, 2))   # = dgamma
+    dy = ((inv * gamma) * (dz - a1 / r - xhat * (a2 / r))).astype(y.dtype)
+
+    du = jnp.sum(dy.astype(jnp.float32), axis=2)  # [B, N, C] f32
+    b_, n_, _ = f.shape
+    if not interpret and jax.default_backend() in ("tpu", "axon"):
+        from weaksuppointcloudseg_tpu.ops.scatter_pallas import (
+            scatter_add_pallas,
+        )
+
+        dv = scatter_add_pallas(idx, dy, n_)  # f32 [B, N, C]
+    else:
+        bidx = jnp.arange(b_)[:, None, None]
+        dv = jnp.zeros((b_, n_, dy.shape[-1]), jnp.float32
+                       ).at[bidx, idx].add(dy.astype(jnp.float32))
+
+    c = f.shape[-1]
+    wc = w.astype(f.dtype)
+    w_top, w_bot = wc[:c], wc[c:]
+    du_c = du.astype(f.dtype)
+    dv_c = dv.astype(f.dtype)
+    df = (jnp.einsum("bno,io->bni", du_c, w_top - w_bot,
+                     preferred_element_type=jnp.float32)
+          + jnp.einsum("bno,io->bni", dv_c, w_bot,
+                       preferred_element_type=jnp.float32)).astype(f.dtype)
+    dw_a = jnp.einsum("bnc,bno->co", f, du_c,
+                      preferred_element_type=jnp.float32)  # d(W_top - W_bot)
+    dw_b = jnp.einsum("bnc,bno->co", f, dv_c,
+                      preferred_element_type=jnp.float32)  # d(W_bot direct)
+    dw = jnp.concatenate([dw_a, dw_b - dw_a], axis=0)
+    db = jnp.sum(du, axis=(0, 1))
+    return (dw.astype(w.dtype), db.astype(w.dtype), a2, a1, df, g_zeros)
+
+
+_edge_conv_bn_relu_train.defvjp(_ecf_fwd, _ecf_bwd)
+
+
+def apply_edge_conv_knn_fused(
+    params: Params,
+    state: State,
+    f: jax.Array,          # [B, N, C] point features (compute dtype, bf16)
+    g_src: jax.Array,      # [B, N, Cg] graph source (no grad)
+    k: int,
+    *,
+    training: bool,
+    bn_decay=None,
+    eps: float = BN_EPS,
+    fast: bool = False,
+    interpret: bool = False,
+) -> Tuple[jax.Array, State]:
+    """EdgeConv front half + first conv + BN + ReLU, with the kNN graph,
+    gather AND conv fused into one Pallas kernel (TPU bf16 path).
+
+    conv(concat([f_i, f_j - f_i])) = u_i + v_j with u = f (W_top - W_bot) + b
+    and v = f W_bot (tiny [B,N,C] matmuls); the kernel adds u to each
+    selection round's gather of v and accumulates the BN batch moments
+    in-kernel (ops/edgeconv_pallas.py::knn_edge_gather). The [B,N,k,2C]
+    edge tensor and its conv never exist in HBM, and the whole block's
+    backward is hand-written (see _edge_conv_bn_relu_train). Same math as
+    apply_edge_conv(f, gather(f, knn(g))) up to bf16/f32 reassociation.
+    """
+    if training:
+        h, mean, var = _edge_conv_bn_relu_train(
+            k, eps, fast, interpret, params["w"], params["b"],
+            params["gamma"], params["beta"], f, g_src)
+        new_state = {
+            "mean": state["mean"] * bn_decay + mean * (1.0 - bn_decay),
+            "var": state["var"] * bn_decay + var * (1.0 - bn_decay),
+        }
+        return h, new_state
+
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import knn_edge_gather
+
+    c = f.shape[-1]
+    w = params["w"].astype(f.dtype)
+    w_top, w_bot = w[:c], w[c:]
+    u = jnp.einsum("...i,io->...o", f, w_top - w_bot,
+                   preferred_element_type=jnp.float32)
+    u = (u + params["b"]).astype(f.dtype)
+    v = jnp.einsum("...i,io->...o", f, w_bot,
+                   preferred_element_type=jnp.float32).astype(f.dtype)
+    _, y, _ = knn_edge_gather(g_src, v, u, k, 256, interpret, fast)
+    mean, var = state["mean"], state["var"]
+    inv = jax.lax.rsqrt(var + eps) * params["gamma"]
+    z = (y.astype(jnp.float32) - mean) * inv + params["beta"]
+    return jax.nn.relu(z).astype(y.dtype), state
 
 
 def apply_edge_conv_first(

@@ -39,16 +39,29 @@ def init_transform_net(key, in_c: int, K: int = 3) -> Tuple[dict, dict]:
 def apply_transform_net(
     params: dict,
     state: dict,
-    edge_feat: jax.Array,  # [B, N, k, 2*C]
+    edge_feat: jax.Array,  # [B, N, k, 2*C]; or None with fused_graph set
     *,
     K: int = 3,
     training: bool,
     bn_decay,
     bn_eps: float = layers.BN_EPS,
+    fused_graph: jax.Array = None,  # [B, N, C] graph coords for the fused path
+    k: int = 20,
+    fast: bool = False,
 ) -> Tuple[jax.Array, dict]:
     new_state = {}
     kw = dict(training=training, bn_decay=bn_decay, eps=bn_eps)
-    net, new_state["tconv1"] = layers.apply_conv(params["tconv1"], state["tconv1"], edge_feat, **kw)
+    if fused_graph is not None:
+        # tconv1(edge_feature(g)) via the fused kNN+conv kernel — the edge
+        # tensor never exists (see layers.apply_edge_conv_knn_fused); the
+        # kNN graph and the gather run inside the same Pallas kernel the
+        # EdgeConv stages use. bf16/TPU configs only.
+        net, new_state["tconv1"] = layers.apply_edge_conv_knn_fused(
+            params["tconv1"], state["tconv1"], fused_graph, fused_graph, k,
+            fast=fast, **kw)
+    else:
+        net, new_state["tconv1"] = layers.apply_conv(
+            params["tconv1"], state["tconv1"], edge_feat, **kw)
     net, new_state["tconv2"] = layers.apply_conv(params["tconv2"], state["tconv2"], net, **kw)
     net = jnp.max(net, axis=2)  # max over k -> [B, N, 128]
     net, new_state["tconv3"] = layers.apply_conv(params["tconv3"], state["tconv3"], net, **kw)

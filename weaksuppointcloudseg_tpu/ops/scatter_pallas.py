@@ -62,6 +62,85 @@ def _scatter_kernel(idx_ref, ct_ref, out_ref, *, n_pad: int, k: int, c: int,
     out_ref[0] += acc
 
 
+def _scatter_w_kernel(idx_ref, w_ref, ct_ref, out_ref, *, n_pad: int, k: int,
+                      op_dtype):
+    """Weighted scatter: out[idx[t, j]] += w[t, j] * ct[t, :].
+
+    The cotangent block is ONE [TM, C] tile shared by all k slots (the
+    weighted-aggregate VJP, ops/edgeconv_pallas.py::knn_weighted_gather) —
+    k-fold less HBM traffic than the unweighted kernel's [TM, k*C] block.
+    """
+    i = pl.program_id(1)
+    idxt = idx_ref[0]                        # [TM, k] int32
+    wt = w_ref[0]                            # [TM, k] f32
+    ct = ct_ref[0].astype(jnp.float32)       # [TM, C]
+    tm = idxt.shape[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    acc = jnp.zeros_like(out_ref[0])
+    for j in range(k):
+        onehot = (col_ids == idxt[:, j:j + 1]).astype(op_dtype)
+        ctj = (ct * wt[:, j:j + 1]).astype(op_dtype)
+        contrib = jax.lax.dot_general(
+            onehot, ctj,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + contrib
+    out_ref[0] += acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "tile_rows", "interpret", "op_dtype")
+)
+def scatter_add_weighted_pallas(
+    idx: jax.Array,      # int32 [B, P, k] target rows
+    w: jax.Array,        # f32 [B, P, k] per-slot weights
+    ct: jax.Array,       # [B, P, C] shared per-point contribution
+    n: int,
+    *,
+    tile_rows: int = 512,
+    interpret: bool = False,
+    op_dtype=None,
+) -> jax.Array:
+    """out[b, idx[b, p, j]] += w[b, p, j] * ct[b, p] -> [B, n, C] f32."""
+    if op_dtype is None:
+        op_dtype = jnp.bfloat16 if ct.dtype == jnp.bfloat16 else jnp.float32
+    b, p, k = idx.shape
+    c = ct.shape[-1]
+    n_pad = _round_up(n, 128)
+    tm = max(8, min(tile_rows, (4 << 20) // (4 * n_pad)))
+    p_pad = _round_up(p, tm)
+    if p_pad != p:
+        idx = jnp.pad(idx, ((0, 0), (0, p_pad - p), (0, 0)),
+                      constant_values=n_pad)
+        w = jnp.pad(w, ((0, 0), (0, p_pad - p), (0, 0)))
+        ct = jnp.pad(ct, ((0, 0), (0, p_pad - p), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(
+            _scatter_w_kernel, n_pad=n_pad, k=k, op_dtype=op_dtype),
+        grid=(b, p_pad // tm),
+        in_specs=[
+            pl.BlockSpec((1, tm, k), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, k), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, c), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_pad, c), lambda bi, i: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 << 20),
+    )(idx, w, ct)
+    return out[:, :n]
+
+
 @functools.partial(
     jax.jit, static_argnames=("n", "tile_rows", "interpret", "op_dtype")
 )
