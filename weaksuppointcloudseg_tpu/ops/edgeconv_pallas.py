@@ -67,77 +67,87 @@ def _distance_tile(g_rows, g_all):
     return d
 
 
-def _kernel_exact(g_rows_ref, g_all_ref, f_all_ref, idx_ref, nbr_ref,
-                  val_ref, *, k: int, n_valid: int, n_pad: int):
-    g_rows = g_rows_ref[0]  # [TM, Cgp]
-    g_all = g_all_ref[0]    # [Np, Cgp]
-    f_all = f_all_ref[0]    # [Np, Cf]
-    d = _distance_tile(g_rows, g_all)
+# Gather matmuls are issued in chunks of this many rounds: the selection
+# passes for rounds c..c+CHUNK run first, then their MXU matmuls
+# back-to-back. Standalone microbench 11.9 -> 10.5 ms per call at B=64,
+# N=2048, k=20, Cf=64 vs the interleaved per-round structure (identical
+# indices) — but a WASH end-to-end (138.2 vs 138.9 ms/step, within
+# noise): in the full step Mosaic already overlaps the interleaved
+# rounds. Kept because it also hosts the shared _selection_rounds
+# dedup; chunk=20 keeps all masks alive and spills scoped VMEM at
+# TM=256.
+MM_CHUNK = 10
 
-    tm = d.shape[0]
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
-    if n_valid < n_pad:
-        d = jnp.where(col_ids < n_valid, d, jnp.inf)
 
-    # k rounds of (min, lowest-index tie-break, gather via winner mask,
-    # knock out the winner) — identical ordering to jax.lax.top_k(-d, k).
-    idx_cols, nbr_slabs, val_cols = [], [], []
+def _selection_rounds(x, col_ids, k, *, fast: bool, idx_bits: int,
+                      n_pad: int):
+    """Yield k rounds of (idx [TM,1], sel bool [TM,Np], sqdist [TM,1] f32).
+
+    ``fast``: x is the packed int32 (distance bits | column); 1 min/round.
+    exact: x is the f32 distance tile; min + lowest-index tie-break —
+    ordering identical to jax.lax.top_k(-d, k).
+    """
+    mask = (1 << idx_bits) - 1
     for _ in range(k):
-        m = jnp.min(d, axis=1, keepdims=True)
-        idx = jnp.min(jnp.where(d == m, col_ids, n_pad), axis=1,
-                      keepdims=True)
+        m = jnp.min(x, axis=1, keepdims=True)
+        if fast:
+            idx = m & mask
+            val = jax.lax.bitcast_convert_type(m & ~mask, jnp.float32)
+        else:
+            idx = jnp.min(jnp.where(x == m, col_ids, n_pad), axis=1,
+                          keepdims=True)
+            val = m
         sel = col_ids == idx
-        nbr = jax.lax.dot_general(  # the gather, on the MXU
-            sel.astype(f_all.dtype), f_all,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(f_all.dtype)
-        idx_cols.append(idx)
-        nbr_slabs.append(nbr)
-        val_cols.append(m)
-        d = jnp.where(sel, jnp.inf, d)
-
-    idx_ref[0] = jnp.concatenate(idx_cols, axis=1)
-    nbr_ref[0] = jnp.concatenate(nbr_slabs, axis=1)  # [TM, k*Cf]
-    if val_ref is not None:
-        val_ref[0] = jnp.concatenate(val_cols, axis=1)
+        yield idx, sel, val
+        x = jnp.where(sel, jnp.int32(0x7F7FFFFF) if fast else jnp.inf, x)
 
 
-def _kernel_fast(g_rows_ref, g_all_ref, f_all_ref, idx_ref, nbr_ref,
-                 val_ref, *, k: int, n_valid: int, n_pad: int,
-                 idx_bits: int):
-    """Packed-min selection (see ops/knn_pallas.py::_knn_kernel_fast)."""
-    g_rows = g_rows_ref[0]
-    g_all = g_all_ref[0]
-    f_all = f_all_ref[0]
-    d = jnp.maximum(_distance_tile(g_rows, g_all), 0.0)  # packed needs d>=0
-
-    tm = d.shape[0]
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
+def _pack_distances(d, col_ids, idx_bits, n_valid, n_pad):
+    """f32 distances -> packed int32 (bits | column); d must be >= 0."""
     mask = (1 << idx_bits) - 1
     bits = jax.lax.bitcast_convert_type(d, jnp.int32)
     packed = (bits & ~mask) | col_ids
     if n_valid < n_pad:
-        big = jnp.int32(0x7F000000)
-        packed = jnp.where(col_ids < n_valid, packed, big | col_ids)
+        packed = jnp.where(col_ids < n_valid, packed,
+                           jnp.int32(0x7F000000) | col_ids)
+    return packed
 
+
+def _kernel_knn_gather(g_rows_ref, g_all_ref, f_all_ref, idx_ref, nbr_ref,
+                       val_ref, *, k: int, n_valid: int, n_pad: int,
+                       fast: bool, idx_bits: int):
+    g_rows = g_rows_ref[0]  # [TM, Cgp]
+    g_all = g_all_ref[0]    # [Np, Cgp]
+    f_all = f_all_ref[0]    # [Np, Cf]
+    tm = g_rows.shape[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
+    if fast:
+        d = jnp.maximum(_distance_tile(g_rows, g_all), 0.0)
+        x = _pack_distances(d, col_ids, idx_bits, n_valid, n_pad)
+    else:
+        x = _distance_tile(g_rows, g_all)
+        if n_valid < n_pad:
+            x = jnp.where(col_ids < n_valid, x, jnp.inf)
+
+    rounds = _selection_rounds(x, col_ids, k, fast=fast, idx_bits=idx_bits,
+                               n_pad=n_pad)
     idx_cols, nbr_slabs, val_cols = [], [], []
-    for _ in range(k):
-        m = jnp.min(packed, axis=1, keepdims=True)
-        idx = m & mask
-        sel = col_ids == idx
-        nbr = jax.lax.dot_general(
-            sel.astype(f_all.dtype), f_all,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(f_all.dtype)
-        idx_cols.append(idx)
-        nbr_slabs.append(nbr)
-        val_cols.append(jax.lax.bitcast_convert_type(m & ~mask, jnp.float32))
-        packed = jnp.where(sel, jnp.int32(0x7F7FFFFF), packed)
+    for c0 in range(0, k, MM_CHUNK):
+        sels = []
+        for _ in range(min(MM_CHUNK, k - c0)):
+            idx, sel, val = next(rounds)
+            idx_cols.append(idx)
+            val_cols.append(val)
+            sels.append(sel.astype(f_all.dtype))
+        for sel in sels:  # back-to-back MXU gathers (see MM_CHUNK)
+            nbr_slabs.append(jax.lax.dot_general(
+                sel, f_all,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(f_all.dtype))
 
     idx_ref[0] = jnp.concatenate(idx_cols, axis=1)
-    nbr_ref[0] = jnp.concatenate(nbr_slabs, axis=1)
+    nbr_ref[0] = jnp.concatenate(nbr_slabs, axis=1)  # [TM, k*Cf]
     if val_ref is not None:
         val_ref[0] = jnp.concatenate(val_cols, axis=1)
 
@@ -169,13 +179,10 @@ def _knn_gather_fwd_impl(
     if n_pad != n:
         f = jnp.pad(f, ((0, 0), (0, n_pad - n), (0, 0)))
 
-    if fast:
-        idx_bits = max(1, (n_pad - 1).bit_length())
-        kernel = functools.partial(
-            _kernel_fast, k=k, n_valid=n, n_pad=n_pad, idx_bits=idx_bits)
-    else:
-        kernel = functools.partial(
-            _kernel_exact, k=k, n_valid=n, n_pad=n_pad)
+    idx_bits = max(1, (n_pad - 1).bit_length())
+    kernel = functools.partial(
+        _kernel_knn_gather, k=k, n_valid=n, n_pad=n_pad, fast=fast,
+        idx_bits=idx_bits)
     if not with_values:
         kernel = functools.partial(kernel, val_ref=None)
 
@@ -298,49 +305,6 @@ def knn_gather_with_sqdist(g, f, k: int, row_tile: int = 256,
 knn_gather_with_sqdist.defvjp(*_make_vjp(with_values=True))
 
 
-def _edge_rounds(d_or_packed, col_ids, v_all, u32, k, n_pad, *, fast,
-                 idx_bits=0, row_valid=None):
-    """Shared k-round selection + affine gather body.
-
-    Per round: winner mask -> ``sel @ v_all + u`` (the whole first EdgeConv
-    conv, see ``knn_edge_gather``), bf16 cast, moment accumulation.
-    Returns (idx [TM,k], y [TM,k*Co], sum [1,Co], sumsq [1,Co]).
-    """
-    mask = (1 << idx_bits) - 1
-    idx_cols, y_slabs = [], []
-    co = v_all.shape[-1]
-    ysum = jnp.zeros((1, co), jnp.float32)
-    ysq = jnp.zeros((1, co), jnp.float32)
-    x = d_or_packed
-    for _ in range(k):
-        m = jnp.min(x, axis=1, keepdims=True)
-        if fast:
-            idx = m & mask
-        else:
-            idx = jnp.min(jnp.where(x == m, col_ids, n_pad), axis=1,
-                          keepdims=True)
-        sel = col_ids == idx
-        gath = jax.lax.dot_general(  # gather of v, exact for bf16 v
-            sel.astype(v_all.dtype), v_all,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        y = (gath + u32).astype(v_all.dtype)
-        if row_valid is not None:
-            y = jnp.where(row_valid, y, jnp.zeros_like(y))
-        y32 = y.astype(jnp.float32)
-        ysum = ysum + jnp.sum(y32, axis=0, keepdims=True)
-        ysq = ysq + jnp.sum(jnp.square(y32), axis=0, keepdims=True)
-        idx_cols.append(idx)
-        y_slabs.append(y)
-        if fast:
-            x = jnp.where(sel, jnp.int32(0x7F7FFFFF), x)
-        else:
-            x = jnp.where(sel, jnp.inf, x)
-    return (jnp.concatenate(idx_cols, axis=1),
-            jnp.concatenate(y_slabs, axis=1), ysum, ysq)
-
-
 def _kernel_edge(g_rows_ref, g_all_ref, v_all_ref, u_rows_ref, idx_ref,
                  y_ref, mom_ref, *, k: int, n_valid: int, n_pad: int,
                  fast: bool, idx_bits: int):
@@ -353,11 +317,7 @@ def _kernel_edge(g_rows_ref, g_all_ref, v_all_ref, u_rows_ref, idx_ref,
 
     if fast:
         d = jnp.maximum(_distance_tile(g_rows, g_all), 0.0)
-        mask = (1 << idx_bits) - 1
-        bits = jax.lax.bitcast_convert_type(d, jnp.int32)
-        x = (bits & ~mask) | col_ids
-        if n_valid < n_pad:
-            x = jnp.where(col_ids < n_valid, x, jnp.int32(0x7F000000) | col_ids)
+        x = _pack_distances(d, col_ids, idx_bits, n_valid, n_pad)
     else:
         x = _distance_tile(g_rows, g_all)
         if n_valid < n_pad:
@@ -370,17 +330,38 @@ def _kernel_edge(g_rows_ref, g_all_ref, v_all_ref, u_rows_ref, idx_ref,
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0) + i * tm
         row_valid = row_ids < n_valid
 
-    idx, y, ysum, ysq = _edge_rounds(
-        x, col_ids, v_all, u32, k, n_pad, fast=fast, idx_bits=idx_bits,
-        row_valid=row_valid)
+    rounds = _selection_rounds(x, col_ids, k, fast=fast, idx_bits=idx_bits,
+                               n_pad=n_pad)
+    co = v_all.shape[-1]
+    idx_cols, y_slabs = [], []
+    ysum = jnp.zeros((1, co), jnp.float32)
+    ysq = jnp.zeros((1, co), jnp.float32)
+    for c0 in range(0, k, MM_CHUNK):
+        sels = []
+        for _ in range(min(MM_CHUNK, k - c0)):
+            idx, sel, _ = next(rounds)
+            idx_cols.append(idx)
+            sels.append(sel.astype(v_all.dtype))
+        for sel in sels:  # back-to-back MXU gather+conv (see MM_CHUNK)
+            gath = jax.lax.dot_general(  # gather of v, exact for bf16 v
+                sel, v_all,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            y = (gath + u32).astype(v_all.dtype)
+            if row_valid is not None:
+                y = jnp.where(row_valid, y, jnp.zeros_like(y))
+            y32 = y.astype(jnp.float32)
+            ysum = ysum + jnp.sum(y32, axis=0, keepdims=True)
+            ysq = ysq + jnp.sum(jnp.square(y32), axis=0, keepdims=True)
+            y_slabs.append(y)
 
     @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
     def _():
         mom_ref[...] = jnp.zeros_like(mom_ref)
 
-    idx_ref[0] = idx
-    y_ref[0] = y
-    co = ysum.shape[-1]
+    idx_ref[0] = jnp.concatenate(idx_cols, axis=1)
+    y_ref[0] = jnp.concatenate(y_slabs, axis=1)
     pad = jnp.zeros((6, co), jnp.float32)
     mom_ref[...] += jnp.concatenate([ysum, ysq, pad], axis=0)
 
@@ -519,74 +500,41 @@ def _knn_edge_bwd(k, row_tile, interpret, fast, res, cts):
 knn_edge_gather.defvjp(_knn_edge_fwd, _knn_edge_bwd)
 
 
-def _kernel_wagg_exact(g_rows_ref, g_all_ref, f_all_ref, idx_ref, s_ref,
-                       w_ref, *, k: int, n_valid: int, n_pad: int,
-                       inv_gamma: float):
+def _kernel_wagg(g_rows_ref, g_all_ref, f_all_ref, idx_ref, s_ref,
+                 w_ref, *, k: int, n_valid: int, n_pad: int, fast: bool,
+                 idx_bits: int, inv_gamma: float):
     g_rows = g_rows_ref[0]
     g_all = g_all_ref[0]
     f_all = f_all_ref[0]
-    d = _distance_tile(g_rows, g_all)
-    tm = d.shape[0]
+    tm = g_rows.shape[0]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
-    if n_valid < n_pad:
-        d = jnp.where(col_ids < n_valid, d, jnp.inf)
+    if fast:
+        d = jnp.maximum(_distance_tile(g_rows, g_all), 0.0)
+        x = _pack_distances(d, col_ids, idx_bits, n_valid, n_pad)
+    else:
+        x = _distance_tile(g_rows, g_all)
+        if n_valid < n_pad:
+            x = jnp.where(col_ids < n_valid, x, jnp.inf)
 
+    rounds = _selection_rounds(x, col_ids, k, fast=fast, idx_bits=idx_bits,
+                               n_pad=n_pad)
     idx_cols, w_cols = [], []
     acc = jnp.zeros((tm, f_all.shape[-1]), jnp.float32)
-    for _ in range(k):
-        m = jnp.min(d, axis=1, keepdims=True)
-        idx = jnp.min(jnp.where(d == m, col_ids, n_pad), axis=1,
-                      keepdims=True)
-        sel = col_ids == idx
-        gathered = jax.lax.dot_general(  # exact for bf16 f (one nonzero)
-            sel.astype(f_all.dtype), f_all,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        w = jnp.exp(-jnp.maximum(m, 0.0) * inv_gamma)  # [TM, 1] f32
-        acc = acc + w * gathered  # weight applied in f32, AFTER the gather
-        idx_cols.append(idx)
-        w_cols.append(w)
-        d = jnp.where(sel, jnp.inf, d)
-
-    idx_ref[0] = jnp.concatenate(idx_cols, axis=1)
-    s_ref[0] = acc
-    w_ref[0] = jnp.concatenate(w_cols, axis=1)
-
-
-def _kernel_wagg_fast(g_rows_ref, g_all_ref, f_all_ref, idx_ref, s_ref,
-                      w_ref, *, k: int, n_valid: int, n_pad: int,
-                      idx_bits: int, inv_gamma: float):
-    g_rows = g_rows_ref[0]
-    g_all = g_all_ref[0]
-    f_all = f_all_ref[0]
-    d = jnp.maximum(_distance_tile(g_rows, g_all), 0.0)
-    tm = d.shape[0]
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
-    mask = (1 << idx_bits) - 1
-    bits = jax.lax.bitcast_convert_type(d, jnp.int32)
-    packed = (bits & ~mask) | col_ids
-    if n_valid < n_pad:
-        big = jnp.int32(0x7F000000)
-        packed = jnp.where(col_ids < n_valid, packed, big | col_ids)
-
-    idx_cols, w_cols = [], []
-    acc = jnp.zeros((tm, f_all.shape[-1]), jnp.float32)
-    for _ in range(k):
-        m = jnp.min(packed, axis=1, keepdims=True)
-        idx = m & mask
-        sel = col_ids == idx
-        gathered = jax.lax.dot_general(
-            sel.astype(f_all.dtype), f_all,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        sqd = jax.lax.bitcast_convert_type(m & ~mask, jnp.float32)
-        w = jnp.exp(-sqd * inv_gamma)
-        acc = acc + w * gathered
-        idx_cols.append(idx)
-        w_cols.append(w)
-        packed = jnp.where(sel, jnp.int32(0x7F7FFFFF), packed)
+    for c0 in range(0, k, MM_CHUNK):
+        sels = []
+        for _ in range(min(MM_CHUNK, k - c0)):
+            idx, sel, sqd = next(rounds)
+            w = jnp.exp(-jnp.maximum(sqd, 0.0) * inv_gamma)  # [TM, 1] f32
+            idx_cols.append(idx)
+            w_cols.append(w)
+            sels.append((sel.astype(f_all.dtype), w))
+        for sel, w in sels:  # back-to-back MXU gathers (see MM_CHUNK)
+            gathered = jax.lax.dot_general(  # exact for bf16 f
+                sel, f_all,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc + w * gathered  # weight in f32, AFTER the gather
 
     idx_ref[0] = jnp.concatenate(idx_cols, axis=1)
     s_ref[0] = acc
@@ -616,15 +564,10 @@ def _knn_wgather_impl(
     if n_pad != n:
         f = jnp.pad(f, ((0, 0), (0, n_pad - n), (0, 0)))
 
-    if fast:
-        idx_bits = max(1, (n_pad - 1).bit_length())
-        kernel = functools.partial(
-            _kernel_wagg_fast, k=k, n_valid=n, n_pad=n_pad,
-            idx_bits=idx_bits, inv_gamma=1.0 / gamma)
-    else:
-        kernel = functools.partial(
-            _kernel_wagg_exact, k=k, n_valid=n, n_pad=n_pad,
-            inv_gamma=1.0 / gamma)
+    idx_bits = max(1, (n_pad - 1).bit_length())
+    kernel = functools.partial(
+        _kernel_wagg, k=k, n_valid=n, n_pad=n_pad, fast=fast,
+        idx_bits=idx_bits, inv_gamma=1.0 / gamma)
 
     outs = pl.pallas_call(
         kernel,
