@@ -159,8 +159,21 @@ def apply_dgcnn_seg(
         # gather + concat + conv (+ the d_ef-free backward of
         # layers.edge_conv_matmul).
         name = f"adj_conv{conv_i}"
-        if (cfg.use_fused_knn and compute_dtype == jnp.bfloat16
-                and jax.default_backend() in ("tpu", "axon")):
+        fused_tpu = (cfg.use_fused_knn and compute_dtype == jnp.bfloat16
+                     and jax.default_backend() in ("tpu", "axon"))
+        if fused_tpu and len(widths) == 2:
+            # whole stage (kNN + both convs + BNs + relus + k-max) as one
+            # custom-VJP block over two Pallas kernels: only the raw
+            # first-conv output reaches HBM (layers.apply_edge_conv_stage_fused)
+            name2 = f"adj_conv{conv_i + 1}"
+            out, new_state[name], new_state[name2] = (
+                layers.apply_edge_conv_stage_fused(
+                    params[name], state[name], params[name2], state[name2],
+                    f_in, src, cfg.k, fast=cfg.knn_fast, **kw))
+            conv_i += 2
+            stage_outputs.append(out)
+            continue
+        if fused_tpu:
             h, new_state[name] = layers.apply_edge_conv_knn_fused(
                 params[name], state[name], f_in, src, cfg.k,
                 fast=cfg.knn_fast, **kw)

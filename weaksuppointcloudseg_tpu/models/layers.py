@@ -375,6 +375,395 @@ def apply_edge_conv_first(
     return jax.nn.relu(y), state
 
 
+def _bn_affine(mean, var, gamma, beta, eps):
+    """BN as the per-channel affine z = s*y + t."""
+    inv = jax.lax.rsqrt(var + eps)
+    s = inv * gamma
+    return s, beta - mean * s, inv
+
+
+def _minmax_select(ymax, amax, ymin, amin, s):
+    """Pick the k-extremum that realizes max_j (s*y_j + t) per channel."""
+    pos = s >= 0
+    ysel = jnp.where(pos, ymax, ymin)
+    asel = jnp.where(pos, amax, amin)
+    return ysel, asel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _conv_bn_kmax_train(eps, interpret, w, b, gamma, beta, h):
+    """Training-mode conv + batch norm + ReLU + k-max, fused.
+
+    Forward runs the minmax Pallas kernel (ops/conv_kmax_pallas.py): the
+    [B, N, k, C2] conv output y never reaches HBM — only its per-channel
+    k-extrema, arg-indices, and batch moments do. Since relu∘max commutes
+    and BN is per-channel affine z = s*y + t, the stage output is
+    relu(s*ysel + t) with ysel = ymax where s>=0 else ymin.
+
+    The HAND-WRITTEN backward never materializes a [B, N, k, C2] tensor
+    either. The k-max routes dout to the single argindex j* per
+    (b, n, c), and the BN backward
+
+        dy = s*(dz - a1/r - xhat*(a2/r)),  a1 = Σdz, a2 = Σdz*xhat
+
+    has dz supported on j* only (so a1, a2 reduce over [B, N, C2]
+    smalls), while its dense correction terms are AFFINE in y:
+    dy = D + A + Bv⊙y with D[b,n,j,c] = q_c·1[j=j*], q = s*dz_sel,
+    A, Bv per-channel constants. Substituting y = h@W + b turns the
+    weight/input gradients into Gram identities:
+
+        dW = h^T D  +  S1⊗A  +  (G W + S1⊗b)·diag(Bv)
+        dh = D W^T  +  h (W diag(Bv) W^T)  +  (A + b⊙Bv) W^T
+        db = Σq + r·A + Bv·r·mean,   with S1 = Σh, G = h^T h.
+
+    The only [B, N, k, ·]-sized operations left are the two D-einsums
+    (whose mask-product operand XLA fuses into the dot) and the dense dh
+    output itself, which the upstream EdgeConv-conv1 backward consumes.
+    Ties in the k-max give all gradient to the first winner; jnp.max
+    splits ties evenly (measure-zero for continuous data; possible under
+    bf16 rounding — accepted, see ops/conv_kmax_pallas.py).
+
+    Returns (out [B,N,C2], mean [C2], var [C2]); mean/var feed the
+    (undifferentiated) BN state update.
+    """
+    out, mean, var, _, _ = _conv_bn_kmax_fwd_math(
+        eps, interpret, w, b, gamma, beta, h)
+    return out, mean, var
+
+
+def _conv_bn_kmax_fwd_math(eps, interpret, w, b, gamma, beta, h):
+    from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
+        conv_minmax_pallas,
+    )
+
+    ymax, amax, ymin, amin, mom = conv_minmax_pallas(
+        jax.lax.stop_gradient(h), jax.lax.stop_gradient(w).astype(h.dtype),
+        jax.lax.stop_gradient(b), interpret=interpret)
+    r = h.shape[0] * h.shape[1] * h.shape[2]
+    mean = mom[0] / r
+    var = jnp.maximum(mom[1] / r - jnp.square(mean), 0.0)
+    s, t, inv = _bn_affine(mean, var, gamma, beta, eps)
+    ysel, asel = _minmax_select(ymax, amax, ymin, amin, s)
+    z = ysel.astype(jnp.float32) * s + t
+    out = jax.nn.relu(z).astype(h.dtype)
+    return out, mean, var, (ysel, asel, inv), z
+
+
+def _cbk_fwd(eps, interpret, w, b, gamma, beta, h):
+    out, mean, var, (ysel, asel, inv), _ = _conv_bn_kmax_fwd_math(
+        eps, interpret, w, b, gamma, beta, h)
+    res = (h, ysel, asel, mean, inv, w, b, gamma, beta)
+    return (out, mean, var), res
+
+
+def _cbk_bwd(eps, interpret, res, cts):
+    h, ysel, asel, mean, inv, w, b, gamma, beta = res
+    dout = cts[0].astype(jnp.float32)  # mean/var feed only the state update
+    b_, n_, k_, _ = h.shape
+    r = b_ * n_ * k_
+
+    s = inv * gamma
+    ysel32 = ysel.astype(jnp.float32)
+    z = ysel32 * s + (beta - mean * s)
+    dz_sel = dout * (z > 0)
+    xhat_sel = (ysel32 - mean) * inv
+    a1 = jnp.sum(dz_sel, axis=(0, 1))
+    a2 = jnp.sum(dz_sel * xhat_sel, axis=(0, 1))
+
+    q = s * dz_sel                                   # [B, N, C2] f32
+    A = (-s * a1 + s * inv * a2 * mean) / r          # [C2]
+    Bv = -s * inv * a2 / r                           # [C2]
+    db = jnp.sum(q, axis=(0, 1)) + r * A + Bv * (r * mean)
+
+    w32 = w.astype(jnp.float32)
+    M = (w32 * Bv[None, :]) @ w32.T                              # [C1,C1]
+    row0 = (A + b * Bv) @ w32.T                                  # [C1]
+
+    if not interpret and jax.default_backend() in ("tpu", "axon"):
+        from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
+            conv_kmax_bwd_pallas,
+        )
+
+        dh, T_sp, G, S1, _ = conv_kmax_bwd_pallas(
+            h, q, asel, w32.T.astype(h.dtype), M.astype(h.dtype), row0)
+    else:
+        # D[b,n,j,c] = q_c at j = j*, else 0 — a mask product XLA fuses
+        # into the dots instead of materializing [B, N, k, C2]
+        onek = asel[:, :, None, :] == jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, k_, 1), 2)
+        Dq = (onek * q[:, :, None, :]).astype(h.dtype)
+        T_sp = jnp.einsum("bnji,bnjc->ic", h, Dq,
+                          preferred_element_type=jnp.float32)
+        S1 = jnp.sum(h.astype(jnp.float32), axis=(0, 1, 2))      # [C1]
+        G = jnp.einsum("bnji,bnjl->il", h, h,
+                       preferred_element_type=jnp.float32)       # [C1,C1]
+        dh = (jnp.einsum("bnjc,ic->bnji", Dq, w.astype(h.dtype),
+                         preferred_element_type=jnp.float32)
+              + jnp.einsum("bnji,il->bnjl", h, M.astype(h.dtype),
+                           preferred_element_type=jnp.float32)
+              + row0).astype(h.dtype)
+
+    dW = (T_sp + S1[:, None] * A[None, :]
+          + (G @ w32 + S1[:, None] * b[None, :]) * Bv[None, :])
+    return (dW.astype(w.dtype), db.astype(b.dtype), a2, a1, dh)
+
+
+_conv_bn_kmax_train.defvjp(_cbk_fwd, _cbk_bwd)
+
+
+def _stage_consts(w, b, gamma, beta, mom, r, eps):
+    """BN affine + selection constants from the in-kernel moments."""
+    mean = mom[0] / r
+    var = jnp.maximum(mom[1] / r - jnp.square(mean), 0.0)
+    s, t, inv = _bn_affine(mean, var, gamma, beta, eps)
+    return mean, var, s, t, inv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _edge_conv_stage_train(k, eps, fast, interpret, w1, b1, gamma1, beta1,
+                           w2, b2, gamma2, beta2, f, g_src):
+    """A WHOLE two-conv EdgeConv stage (kNN + conv1 + BN + relu + conv2 +
+    BN + relu + k-max) as two Pallas kernels and [B, N, C]-sized glue.
+
+    Forward: knn_edge_gather emits the raw first-conv output y1 + BN1
+    moments; conv_minmax_pallas folds BN1+relu in VMEM and emits only the
+    second conv's per-channel k-extrema + moments. NO [B, N, k, C] tensor
+    except y1 itself ever reaches HBM, and y1 is written once (it is the
+    backward's only big residual). Merging the two convs into ONE custom
+    VJP is what enables the fold: with separate per-conv VJPs the relu'd
+    [B, N, k, C] activations must be materialized at the boundary
+    (measured +8 ms/step as separate layers — XLA cannot fuse producers
+    into a Pallas operand).
+
+    Backward: conv_kmax_bwd_pallas recomputes h1 from y1 in VMEM and
+    emits dz1 (relu-masked BN1-input cotangent), the conv2 Gram
+    accumulators, and the BN1 reduces in ONE pass; the only remaining
+    [B, N, k, C] XLA work is the elementwise dy1 assembly feeding the
+    scatter kernel (du = Σ_j dy1, dv = scatter(idx, dy1) — then the u/v
+    factorization maps to df/dw1 exactly as in _edge_conv_bn_relu_train).
+
+    Returns (out [B,N,C2], mean1, var1, mean2, var2); the mean/var
+    outputs feed the (undifferentiated) BN state updates.
+    """
+    outs, _ = _stage_fwd_math(
+        k, eps, fast, interpret, w1, b1, gamma1, beta1, w2, b2, gamma2,
+        beta2, f, g_src)
+    return outs
+
+
+def _stage_fwd_math(k, eps, fast, interpret, w1, b1, gamma1, beta1, w2, b2,
+                    gamma2, beta2, f, g_src):
+    from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
+        conv_minmax_pallas,
+    )
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import _knn_edge_impl
+
+    c = f.shape[-1]
+    w1c = w1.astype(f.dtype)
+    w_top, w_bot = w1c[:c], w1c[c:]
+    u = jnp.einsum("...i,io->...o", f, w_top - w_bot,
+                   preferred_element_type=jnp.float32)
+    u = (u + b1).astype(f.dtype)
+    v = jnp.einsum("...i,io->...o", f, w_bot,
+                   preferred_element_type=jnp.float32).astype(f.dtype)
+    idx, y1, mom1 = _knn_edge_impl(
+        jax.lax.stop_gradient(g_src), jax.lax.stop_gradient(v),
+        jax.lax.stop_gradient(u), k, 256, interpret, fast)
+    r = y1.shape[0] * y1.shape[1] * y1.shape[2]
+    mean1, var1, s1, t1, inv1 = _stage_consts(
+        w1, b1, gamma1, beta1, mom1, r, eps)
+    ymax, amax, ymin, amin, mom2 = conv_minmax_pallas(
+        y1, jax.lax.stop_gradient(w2).astype(f.dtype),
+        jax.lax.stop_gradient(b2), s1, t1, interpret=interpret)
+    mean2, var2, s2, t2, inv2 = _stage_consts(
+        w2, b2, gamma2, beta2, mom2, r, eps)
+    ysel, asel = _minmax_select(ymax, amax, ymin, amin, s2)
+    z = ysel.astype(jnp.float32) * s2 + t2
+    out = jax.nn.relu(z).astype(f.dtype)
+    return ((out, mean1, var1, mean2, var2),
+            (idx, y1, ysel, asel, mean1, inv1, mean2, inv2))
+
+
+def _stage_fwd(k, eps, fast, interpret, w1, b1, gamma1, beta1, w2, b2,
+               gamma2, beta2, f, g_src):
+    outs, (idx, y1, ysel, asel, mean1, inv1, mean2, inv2) = _stage_fwd_math(
+        k, eps, fast, interpret, w1, b1, gamma1, beta1, w2, b2, gamma2,
+        beta2, f, g_src)
+    res = (idx, y1, ysel, asel, mean1, inv1, mean2, inv2,
+           w1, b1, gamma1, beta1, w2, b2, gamma2, beta2, f,
+           jnp.zeros_like(g_src))
+    return outs, res
+
+
+def _stage_bwd(k, eps, fast, interpret, res, cts):
+    from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
+        conv_kmax_bwd_pallas,
+    )
+
+    (idx, y1, ysel, asel, mean1, inv1, mean2, inv2, w1, b1, gamma1, beta1,
+     w2, b2, gamma2, beta2, f, g_zeros) = res
+    dout = cts[0].astype(jnp.float32)  # mean/var feed only state updates
+    b_, n_, k_, _ = y1.shape
+    r = b_ * n_ * k_
+
+    # --- conv2 BN backward from [B, N, C2] smalls ---
+    s2 = inv2 * gamma2
+    ysel32 = ysel.astype(jnp.float32)
+    z = ysel32 * s2 + (beta2 - mean2 * s2)
+    dz_sel = dout * (z > 0)
+    xhat_sel = (ysel32 - mean2) * inv2
+    a1 = jnp.sum(dz_sel, axis=(0, 1))
+    a2 = jnp.sum(dz_sel * xhat_sel, axis=(0, 1))
+    q = s2 * dz_sel
+    A = (-s2 * a1 + s2 * inv2 * a2 * mean2) / r
+    Bv = -s2 * inv2 * a2 / r
+    db2 = jnp.sum(q, axis=(0, 1)) + r * A + Bv * (r * mean2)
+
+    w232 = w2.astype(jnp.float32)
+    M = (w232 * Bv[None, :]) @ w232.T
+    row0 = (A + b2 * Bv) @ w232.T
+    s1 = inv1 * gamma1
+    t1 = beta1 - mean1 * s1
+
+    # --- one fused pass over y1: h1 recompute, conv2 grads, BN1 reduces
+    dz1, T_sp, G, S1, ab = conv_kmax_bwd_pallas(
+        y1, q, asel, w232.T.astype(y1.dtype), M.astype(y1.dtype), row0,
+        s1, t1, mean1, inv1, interpret=interpret)
+    dW2 = (T_sp + S1[:, None] * A[None, :]
+           + (G @ w232 + S1[:, None] * b2[None, :]) * Bv[None, :])
+    a1p, a2p = ab[0], ab[1]
+
+    # --- BN1 backward assembly (elementwise over y1/dz1) + u/v grads ---
+    xhat1 = (y1.astype(jnp.float32) - mean1) * inv1
+    dy1 = (s1 * (dz1.astype(jnp.float32) - a1p / r - xhat1 * (a2p / r))
+           ).astype(y1.dtype)
+    du = jnp.sum(dy1.astype(jnp.float32), axis=2)  # [B, N, C1] f32
+    if not interpret and jax.default_backend() in ("tpu", "axon"):
+        from weaksuppointcloudseg_tpu.ops.scatter_pallas import (
+            scatter_add_pallas,
+        )
+
+        dv = scatter_add_pallas(idx, dy1, n_)
+    else:
+        bidx = jnp.arange(b_)[:, None, None]
+        dv = jnp.zeros((b_, n_, dy1.shape[-1]), jnp.float32
+                       ).at[bidx, idx].add(dy1.astype(jnp.float32))
+
+    c = f.shape[-1]
+    w1c = w1.astype(f.dtype)
+    w_top, w_bot = w1c[:c], w1c[c:]
+    du_c = du.astype(f.dtype)
+    dv_c = dv.astype(f.dtype)
+    df = (jnp.einsum("bno,io->bni", du_c, w_top - w_bot,
+                     preferred_element_type=jnp.float32)
+          + jnp.einsum("bno,io->bni", dv_c, w_bot,
+                       preferred_element_type=jnp.float32)).astype(f.dtype)
+    dw_a = jnp.einsum("bnc,bno->co", f, du_c,
+                      preferred_element_type=jnp.float32)
+    dw_b = jnp.einsum("bnc,bno->co", f, dv_c,
+                      preferred_element_type=jnp.float32)
+    dw1 = jnp.concatenate([dw_a, dw_b - dw_a], axis=0)
+    db1 = jnp.sum(du, axis=(0, 1))
+    return (dw1.astype(w1.dtype), db1.astype(b1.dtype), a2p, a1p,
+            dW2.astype(w2.dtype), db2.astype(b2.dtype), a2, a1,
+            df, g_zeros)
+
+
+_edge_conv_stage_train.defvjp(_stage_fwd, _stage_bwd)
+
+
+def apply_edge_conv_stage_fused(
+    params1: Params,
+    state1: State,
+    params2: Params,
+    state2: State,
+    f: jax.Array,          # [B, N, C] point features (bf16 TPU path)
+    g_src: jax.Array,      # [B, N, Cg] graph source (no grad)
+    k: int,
+    *,
+    training: bool,
+    bn_decay=None,
+    eps: float = BN_EPS,
+    fast: bool = False,
+    interpret: bool = False,
+) -> Tuple[jax.Array, State, State]:
+    """Whole fused EdgeConv stage: kNN + conv1+BN+relu + conv2+BN+relu +
+    k-max (reference DGCNN_ShapeNet.py:32-62 per stage). Returns
+    ([B, N, C2] stage output, new BN state 1, new BN state 2)."""
+    if training:
+        out, mean1, var1, mean2, var2 = _edge_conv_stage_train(
+            k, eps, fast, interpret, params1["w"], params1["b"],
+            params1["gamma"], params1["beta"], params2["w"], params2["b"],
+            params2["gamma"], params2["beta"], f, g_src)
+        d = bn_decay
+        ns1 = {"mean": state1["mean"] * d + mean1 * (1.0 - d),
+               "var": state1["var"] * d + var1 * (1.0 - d)}
+        ns2 = {"mean": state2["mean"] * d + mean2 * (1.0 - d),
+               "var": state2["var"] * d + var2 * (1.0 - d)}
+        return out, ns1, ns2
+
+    from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
+        conv_minmax_pallas,
+    )
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import knn_edge_gather
+
+    c = f.shape[-1]
+    w1 = params1["w"].astype(f.dtype)
+    w_top, w_bot = w1[:c], w1[c:]
+    u = jnp.einsum("...i,io->...o", f, w_top - w_bot,
+                   preferred_element_type=jnp.float32)
+    u = (u + params1["b"]).astype(f.dtype)
+    v = jnp.einsum("...i,io->...o", f, w_bot,
+                   preferred_element_type=jnp.float32).astype(f.dtype)
+    _, y1, _ = knn_edge_gather(g_src, v, u, k, 256, interpret, fast)
+    s1, t1, _ = _bn_affine(state1["mean"], state1["var"], params1["gamma"],
+                           params1["beta"], eps)
+    ymax, amax, ymin, amin, _ = conv_minmax_pallas(
+        y1, params2["w"].astype(f.dtype), params2["b"], s1, t1,
+        interpret=interpret)
+    s2, t2, _ = _bn_affine(state2["mean"], state2["var"], params2["gamma"],
+                           params2["beta"], eps)
+    ysel, _ = _minmax_select(ymax, amax, ymin, amin, s2)
+    z = ysel.astype(jnp.float32) * s2 + t2
+    return jax.nn.relu(z).astype(f.dtype), state1, state2
+
+
+def apply_conv_bn_relu_kmax(
+    params: Params,
+    state: State,
+    h: jax.Array,          # [B, N, k, C1] activations (bf16 TPU path)
+    *,
+    training: bool,
+    bn_decay=None,
+    eps: float = BN_EPS,
+    interpret: bool = False,
+) -> Tuple[jax.Array, State]:
+    """Second EdgeConv conv + BN + ReLU + max-over-k as one fused block
+    (reference: tf_util.py:115-173 conv2d then reduce_max at
+    DGCNN_ShapeNet.py:46/62). Returns ([B, N, C2], new BN state)."""
+    if training:
+        out, mean, var = _conv_bn_kmax_train(
+            eps, interpret, params["w"], params["b"], params["gamma"],
+            params["beta"], h)
+        new_state = {
+            "mean": state["mean"] * bn_decay + mean * (1.0 - bn_decay),
+            "var": state["var"] * bn_decay + var * (1.0 - bn_decay),
+        }
+        return out, new_state
+
+    from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
+        conv_minmax_pallas,
+    )
+
+    ymax, amax, ymin, amin, _ = conv_minmax_pallas(
+        h, params["w"].astype(h.dtype), params["b"], interpret=interpret)
+    s, t, _ = _bn_affine(state["mean"], state["var"], params["gamma"],
+                         params["beta"], eps)
+    ysel, _ = _minmax_select(ymax, amax, ymin, amin, s)
+    z = ysel.astype(jnp.float32) * s + t
+    return jax.nn.relu(z).astype(h.dtype), state
+
+
 def dropout(x: jax.Array, rng, keep_prob: float, *, training: bool) -> jax.Array:
     """Inverted dropout matching tf.nn.dropout(keep_prob)."""
     if not training or keep_prob >= 1.0:
