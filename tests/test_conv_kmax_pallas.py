@@ -202,3 +202,50 @@ def test_whole_stage_eval_matches_unfused(rng):
     y, _ = layers.apply_conv(p2, st2, h1, **kw)
     np.testing.assert_allclose(out_f, jnp.max(y, axis=2), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_stage1_matches_unfused(rng):
+    """apply_edge_conv_stage1_fused (kNN kernel emits the k-extrema) ==
+    knn -> gather -> conv1 block -> k-max: values, grads, states, eval."""
+    b, n, k, c, c2 = 2, 48, 6, 10, 12
+    f = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    p1 = _mk_params(2 * c, c2, 41)
+    st = {"mean": jnp.zeros((c2,)), "var": jnp.ones((c2,))}
+    R = jnp.asarray(rng.standard_normal((b, n, c2)), jnp.float32)
+    kw = dict(training=True, bn_decay=0.9)
+
+    def fused(p1, f):
+        out, _ = layers.apply_edge_conv_stage1_fused(
+            p1, st, f, g, k, interpret=True, **kw)
+        return jnp.sum(out * R)
+
+    def unfused(p1, f):
+        nbr = knn_ops.gather_neighbors(f, knn_ops.knn_graph(g, k))
+        h1, _ = layers.apply_edge_conv(p1, st, f, nbr, **kw)
+        return jnp.sum(jnp.max(h1, axis=2) * R)
+
+    v_f, g_f = jax.value_and_grad(fused, argnums=(0, 1))(p1, f)
+    v_u, g_u = jax.value_and_grad(unfused, argnums=(0, 1))(p1, f)
+    np.testing.assert_allclose(v_f, v_u, rtol=1e-5)
+    for name in ("w", "b", "gamma", "beta"):
+        np.testing.assert_allclose(g_f[0][name], g_u[0][name], rtol=5e-4,
+                                   atol=5e-5, err_msg=name)
+    np.testing.assert_allclose(g_f[1], g_u[1], rtol=5e-4, atol=5e-5)
+
+    out_f, ns = layers.apply_edge_conv_stage1_fused(
+        p1, st, f, g, k, interpret=True, **kw)
+    nbr = knn_ops.gather_neighbors(f, knn_ops.knn_graph(g, k))
+    h1, us = layers.apply_edge_conv(p1, st, f, nbr, **kw)
+    np.testing.assert_allclose(out_f, jnp.max(h1, axis=2), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(ns["mean"], us["mean"], rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(ns["var"], us["var"], rtol=1e-5, atol=1e-6)
+
+    out_e, _ = layers.apply_edge_conv_stage1_fused(
+        p1, st, f, g, k, interpret=True, training=False, bn_decay=None)
+    h1e, _ = layers.apply_edge_conv(p1, st, f, nbr, training=False,
+                                    bn_decay=None)
+    np.testing.assert_allclose(out_e, jnp.max(h1e, axis=2), rtol=1e-5,
+                               atol=1e-6)

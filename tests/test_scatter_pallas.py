@@ -63,3 +63,37 @@ def test_weighted_scatter_ragged_rows(rng):
     bidx = jnp.arange(b)[:, None, None]
     want = want.at[bidx, idx].add(w[..., None] * ct[:, :, None, :])
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["dense", "sparse"])
+def test_scatter_bn_bwd(rng, mode):
+    """Fold-in scatter: dy = first + alpha + beta*y assembled in VMEM,
+    dense (s*dz) and sparse (k-max routed q at asel) first terms, vs the
+    straight materialize-dy1 math. p=37 exercises ragged row padding."""
+    from weaksuppointcloudseg_tpu.ops.scatter_pallas import (
+        scatter_bn_bwd_pallas,
+    )
+
+    b, p, k, c, n = 2, 37, 5, 8, 40
+    idx = jnp.asarray(rng.integers(0, n, (b, p, k)), jnp.int32)
+    y = jnp.asarray(rng.standard_normal((b, p, k, c)), jnp.float32)
+    sv = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    al = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    be = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    if mode == "dense":
+        dz = jnp.asarray(rng.standard_normal((b, p, k, c)), jnp.float32)
+        got_dv, got_du = scatter_bn_bwd_pallas(
+            idx, y, dz, sv, al, be, n, tile_rows=16, interpret=True)
+        dy = sv * dz + al + be * y
+    else:
+        q = jnp.asarray(rng.standard_normal((b, p, c)), jnp.float32)
+        asel = jnp.asarray(rng.integers(0, k, (b, p, c)), jnp.int32)
+        got_dv, got_du = scatter_bn_bwd_pallas(
+            idx, y, (q, asel), sv, al, be, n, tile_rows=16, interpret=True)
+        onek = asel[:, :, None, :] == jnp.arange(k)[None, None, :, None]
+        dy = onek * q[:, :, None, :] + al + be * y
+    np.testing.assert_allclose(got_du, jnp.sum(dy, axis=2), rtol=1e-5,
+                               atol=1e-5)
+    bidx = jnp.arange(b)[:, None, None]
+    want_dv = jnp.zeros((b, n, c)).at[bidx, idx].add(dy)
+    np.testing.assert_allclose(got_dv, want_dv, rtol=1e-4, atol=1e-4)

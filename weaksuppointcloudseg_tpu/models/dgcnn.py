@@ -173,6 +173,15 @@ def apply_dgcnn_seg(
             conv_i += 2
             stage_outputs.append(out)
             continue
+        if fused_tpu and len(widths) == 1:
+            # single-conv stage: the kNN kernel itself emits the k-extrema
+            # (layers.apply_edge_conv_stage1_fused)
+            out, new_state[name] = layers.apply_edge_conv_stage1_fused(
+                params[name], state[name], f_in, src, cfg.k,
+                fast=cfg.knn_fast, **kw)
+            conv_i += 1
+            stage_outputs.append(out)
+            continue
         if fused_tpu:
             h, new_state[name] = layers.apply_edge_conv_knn_fused(
                 params[name], state[name], f_in, src, cfg.k,

@@ -558,14 +558,7 @@ def _stage_fwd_math(k, eps, fast, interpret, w1, b1, gamma1, beta1, w2, b2,
     )
     from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import _knn_edge_impl
 
-    c = f.shape[-1]
-    w1c = w1.astype(f.dtype)
-    w_top, w_bot = w1c[:c], w1c[c:]
-    u = jnp.einsum("...i,io->...o", f, w_top - w_bot,
-                   preferred_element_type=jnp.float32)
-    u = (u + b1).astype(f.dtype)
-    v = jnp.einsum("...i,io->...o", f, w_bot,
-                   preferred_element_type=jnp.float32).astype(f.dtype)
+    u, v = _uv_factor(w1, b1, f)
     idx, y1, mom1 = _knn_edge_impl(
         jax.lax.stop_gradient(g_src), jax.lax.stop_gradient(v),
         jax.lax.stop_gradient(u), k, 256, interpret, fast)
@@ -633,37 +626,27 @@ def _stage_bwd(k, eps, fast, interpret, res, cts):
            + (G @ w232 + S1[:, None] * b2[None, :]) * Bv[None, :])
     a1p, a2p = ab[0], ab[1]
 
-    # --- BN1 backward assembly (elementwise over y1/dz1) + u/v grads ---
-    xhat1 = (y1.astype(jnp.float32) - mean1) * inv1
-    dy1 = (s1 * (dz1.astype(jnp.float32) - a1p / r - xhat1 * (a2p / r))
-           ).astype(y1.dtype)
-    du = jnp.sum(dy1.astype(jnp.float32), axis=2)  # [B, N, C1] f32
+    # --- BN1 backward + du + scatter in ONE pass over (y1, dz1):
+    # dy1 = s1*dz1 + alpha1 + beta1v*y1 (the moment corrections are
+    # affine in y1), assembled in VMEM by the scatter kernel
+    alpha1 = s1 * (-a1p / r + (a2p / r) * inv1 * mean1)
+    beta1v = -s1 * (a2p / r) * inv1
     if not interpret and jax.default_backend() in ("tpu", "axon"):
         from weaksuppointcloudseg_tpu.ops.scatter_pallas import (
-            scatter_add_pallas,
+            scatter_bn_bwd_pallas,
         )
 
-        dv = scatter_add_pallas(idx, dy1, n_)
+        dv, du = scatter_bn_bwd_pallas(
+            idx, y1, dz1, s1, alpha1, beta1v, n_)
     else:
+        dy1 = (s1 * dz1.astype(jnp.float32) + alpha1
+               + beta1v * y1.astype(jnp.float32)).astype(y1.dtype)
+        du = jnp.sum(dy1.astype(jnp.float32), axis=2)  # [B, N, C1] f32
         bidx = jnp.arange(b_)[:, None, None]
         dv = jnp.zeros((b_, n_, dy1.shape[-1]), jnp.float32
                        ).at[bidx, idx].add(dy1.astype(jnp.float32))
 
-    c = f.shape[-1]
-    w1c = w1.astype(f.dtype)
-    w_top, w_bot = w1c[:c], w1c[c:]
-    du_c = du.astype(f.dtype)
-    dv_c = dv.astype(f.dtype)
-    df = (jnp.einsum("bno,io->bni", du_c, w_top - w_bot,
-                     preferred_element_type=jnp.float32)
-          + jnp.einsum("bno,io->bni", dv_c, w_bot,
-                       preferred_element_type=jnp.float32)).astype(f.dtype)
-    dw_a = jnp.einsum("bnc,bno->co", f, du_c,
-                      preferred_element_type=jnp.float32)
-    dw_b = jnp.einsum("bnc,bno->co", f, dv_c,
-                      preferred_element_type=jnp.float32)
-    dw1 = jnp.concatenate([dw_a, dw_b - dw_a], axis=0)
-    db1 = jnp.sum(du, axis=(0, 1))
+    df, dw1, db1 = _uv_grads(w1, f, du, dv)
     return (dw1.astype(w1.dtype), db1.astype(b1.dtype), a2p, a1p,
             dW2.astype(w2.dtype), db2.astype(b2.dtype), a2, a1,
             df, g_zeros)
@@ -707,14 +690,7 @@ def apply_edge_conv_stage_fused(
     )
     from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import knn_edge_gather
 
-    c = f.shape[-1]
-    w1 = params1["w"].astype(f.dtype)
-    w_top, w_bot = w1[:c], w1[c:]
-    u = jnp.einsum("...i,io->...o", f, w_top - w_bot,
-                   preferred_element_type=jnp.float32)
-    u = (u + params1["b"]).astype(f.dtype)
-    v = jnp.einsum("...i,io->...o", f, w_bot,
-                   preferred_element_type=jnp.float32).astype(f.dtype)
+    u, v = _uv_factor(params1["w"], params1["b"], f)
     _, y1, _ = knn_edge_gather(g_src, v, u, k, 256, interpret, fast)
     s1, t1, _ = _bn_affine(state1["mean"], state1["var"], params1["gamma"],
                            params1["beta"], eps)
@@ -726,6 +702,159 @@ def apply_edge_conv_stage_fused(
     ysel, _ = _minmax_select(ymax, amax, ymin, amin, s2)
     z = ysel.astype(jnp.float32) * s2 + t2
     return jax.nn.relu(z).astype(f.dtype), state1, state2
+
+
+def _uv_factor(w1, b1, f):
+    """First-conv u/v decomposition (see knn_edge_gather)."""
+    c = f.shape[-1]
+    w1c = w1.astype(f.dtype)
+    w_top, w_bot = w1c[:c], w1c[c:]
+    u = jnp.einsum("...i,io->...o", f, w_top - w_bot,
+                   preferred_element_type=jnp.float32)
+    u = (u + b1).astype(f.dtype)
+    v = jnp.einsum("...i,io->...o", f, w_bot,
+                   preferred_element_type=jnp.float32).astype(f.dtype)
+    return u, v
+
+
+def _uv_grads(w1, f, du, dv):
+    """Map (du, dv) cotangents back through the u/v factorization."""
+    c = f.shape[-1]
+    w1c = w1.astype(f.dtype)
+    w_top, w_bot = w1c[:c], w1c[c:]
+    du_c = du.astype(f.dtype)
+    dv_c = dv.astype(f.dtype)
+    df = (jnp.einsum("bno,io->bni", du_c, w_top - w_bot,
+                     preferred_element_type=jnp.float32)
+          + jnp.einsum("bno,io->bni", dv_c, w_bot,
+                       preferred_element_type=jnp.float32)).astype(f.dtype)
+    dw_a = jnp.einsum("bnc,bno->co", f, du_c,
+                      preferred_element_type=jnp.float32)
+    dw_b = jnp.einsum("bnc,bno->co", f, dv_c,
+                      preferred_element_type=jnp.float32)
+    dw1 = jnp.concatenate([dw_a, dw_b - dw_a], axis=0)
+    db1 = jnp.sum(du, axis=(0, 1))
+    return df, dw1, db1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _edge_conv_stage1_train(k, eps, fast, interpret, w1, b1, gamma1, beta1,
+                            f, g_src):
+    """Single-conv EdgeConv stage (kNN + conv + BN + relu + k-max) with
+    the k-extrema emitted BY the kNN kernel: _knn_edge_impl's minmax
+    outputs track the per-channel running max/min of y as each selection
+    round's conv output is produced, so the BN+relu+k-max chain never
+    re-reads the [B, N, k, C] tensor (the monotone-affine BN argument of
+    ops/conv_kmax_pallas.py). The backward's only [B, N, k, C] pass is
+    the fold-in scatter (scatter_bn_bwd_pallas sparse mode), reading y1
+    once. Reference: third EdgeConv stage, DGCNN_ShapeNet.py:66-78."""
+    outs, _ = _stage1_fwd_math(
+        k, eps, fast, interpret, w1, b1, gamma1, beta1, f, g_src)
+    return outs
+
+
+def _stage1_fwd_math(k, eps, fast, interpret, w1, b1, gamma1, beta1, f,
+                     g_src):
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import _knn_edge_impl
+
+    u, v = _uv_factor(w1, b1, f)
+    idx, y1, mom, ymax, amax, ymin, amin = _knn_edge_impl(
+        jax.lax.stop_gradient(g_src), jax.lax.stop_gradient(v),
+        jax.lax.stop_gradient(u), k, 256, interpret, fast,
+        with_minmax=True)
+    r = y1.shape[0] * y1.shape[1] * y1.shape[2]
+    mean, var, s, t, inv = _stage_consts(w1, b1, gamma1, beta1, mom, r, eps)
+    ysel, asel = _minmax_select(ymax, amax, ymin, amin, s)
+    z = ysel.astype(jnp.float32) * s + t
+    out = jax.nn.relu(z).astype(f.dtype)
+    return (out, mean, var), (idx, y1, ysel, asel, mean, inv)
+
+
+def _stage1_fwd(k, eps, fast, interpret, w1, b1, gamma1, beta1, f, g_src):
+    outs, (idx, y1, ysel, asel, mean, inv) = _stage1_fwd_math(
+        k, eps, fast, interpret, w1, b1, gamma1, beta1, f, g_src)
+    res = (idx, y1, ysel, asel, mean, inv, w1, gamma1, beta1, f,
+           jnp.zeros_like(g_src))
+    return outs, res
+
+
+def _stage1_bwd(k, eps, fast, interpret, res, cts):
+    idx, y1, ysel, asel, mean, inv, w1, gamma1, beta1, f, g_zeros = res
+    dout = cts[0].astype(jnp.float32)
+    b_, n_, k_, _ = y1.shape
+    r = b_ * n_ * k_
+
+    s = inv * gamma1
+    ysel32 = ysel.astype(jnp.float32)
+    z = ysel32 * s + (beta1 - mean * s)
+    dz_sel = dout * (z > 0)
+    xhat_sel = (ysel32 - mean) * inv
+    a1 = jnp.sum(dz_sel, axis=(0, 1))
+    a2 = jnp.sum(dz_sel * xhat_sel, axis=(0, 1))
+    q = s * dz_sel
+    alpha = s * (-a1 / r + (a2 / r) * inv * mean)
+    beta_v = -s * (a2 / r) * inv
+
+    if not interpret and jax.default_backend() in ("tpu", "axon"):
+        from weaksuppointcloudseg_tpu.ops.scatter_pallas import (
+            scatter_bn_bwd_pallas,
+        )
+
+        dv, du = scatter_bn_bwd_pallas(
+            idx, y1, (q, asel), s, alpha, beta_v, n_)
+    else:
+        onek = asel[:, :, None, :] == jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, k_, 1), 2)
+        dy1 = (onek * q[:, :, None, :] + alpha
+               + beta_v * y1.astype(jnp.float32)).astype(y1.dtype)
+        du = jnp.sum(dy1.astype(jnp.float32), axis=2)
+        bidx = jnp.arange(b_)[:, None, None]
+        dv = jnp.zeros((b_, n_, dy1.shape[-1]), jnp.float32
+                       ).at[bidx, idx].add(dy1.astype(jnp.float32))
+
+    df, dw1, db1 = _uv_grads(w1, f, du, dv)
+    return (dw1.astype(w1.dtype), db1.astype(jnp.float32), a2, a1, df,
+            g_zeros)
+
+
+_edge_conv_stage1_train.defvjp(_stage1_fwd, _stage1_bwd)
+
+
+def apply_edge_conv_stage1_fused(
+    params: Params,
+    state: State,
+    f: jax.Array,          # [B, N, C] point features (bf16 TPU path)
+    g_src: jax.Array,      # [B, N, Cg] graph source (no grad)
+    k: int,
+    *,
+    training: bool,
+    bn_decay=None,
+    eps: float = BN_EPS,
+    fast: bool = False,
+    interpret: bool = False,
+) -> Tuple[jax.Array, State]:
+    """Whole single-conv EdgeConv stage incl. k-max (reference
+    DGCNN_ShapeNet.py:66-78). Returns ([B, N, C] output, new BN state)."""
+    if training:
+        out, mean, var = _edge_conv_stage1_train(
+            k, eps, fast, interpret, params["w"], params["b"],
+            params["gamma"], params["beta"], f, g_src)
+        new_state = {
+            "mean": state["mean"] * bn_decay + mean * (1.0 - bn_decay),
+            "var": state["var"] * bn_decay + var * (1.0 - bn_decay),
+        }
+        return out, new_state
+
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import _knn_edge_impl
+
+    u, v = _uv_factor(params["w"], params["b"], f)
+    _, _, _, ymax, amax, ymin, amin = _knn_edge_impl(
+        g_src, v, u, k, 256, interpret, fast, with_minmax=True)
+    s, t, _ = _bn_affine(state["mean"], state["var"], params["gamma"],
+                         params["beta"], eps)
+    ysel, _ = _minmax_select(ymax, amax, ymin, amin, s)
+    z = ysel.astype(jnp.float32) * s + t
+    return jax.nn.relu(z).astype(f.dtype), state
 
 
 def apply_conv_bn_relu_kmax(

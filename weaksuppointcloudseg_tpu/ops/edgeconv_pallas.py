@@ -306,8 +306,9 @@ knn_gather_with_sqdist.defvjp(*_make_vjp(with_values=True))
 
 
 def _kernel_edge(g_rows_ref, g_all_ref, v_all_ref, u_rows_ref, idx_ref,
-                 y_ref, mom_ref, *, k: int, n_valid: int, n_pad: int,
-                 fast: bool, idx_bits: int):
+                 y_ref, mom_ref, ymax_ref, amax_ref, ymin_ref, amin_ref,
+                 *, k: int, n_valid: int, n_pad: int, fast: bool,
+                 idx_bits: int):
     g_rows = g_rows_ref[0]
     g_all = g_all_ref[0]
     v_all = v_all_ref[0]
@@ -336,6 +337,8 @@ def _kernel_edge(g_rows_ref, g_all_ref, v_all_ref, u_rows_ref, idx_ref,
     idx_cols, y_slabs = [], []
     ysum = jnp.zeros((1, co), jnp.float32)
     ysq = jnp.zeros((1, co), jnp.float32)
+    minmax = ymax_ref is not None
+    ymax = ymin = amax = amin = None
     for c0 in range(0, k, MM_CHUNK):
         sels = []
         for _ in range(min(MM_CHUNK, k - c0)):
@@ -354,7 +357,28 @@ def _kernel_edge(g_rows_ref, g_all_ref, v_all_ref, u_rows_ref, idx_ref,
             y32 = y.astype(jnp.float32)
             ysum = ysum + jnp.sum(y32, axis=0, keepdims=True)
             ysq = ysq + jnp.sum(jnp.square(y32), axis=0, keepdims=True)
+            if minmax:
+                # per-channel k-extrema of the rounded y, tracked on the
+                # exact f32 upcast (32-bit masks throughout — see
+                # ops/conv_kmax_pallas.py); first winner keeps ties
+                j = len(y_slabs)
+                if j == 0:
+                    ymax = ymin = y32
+                    amax = amin = jnp.zeros_like(y32, jnp.int32)
+                else:
+                    gt = y32 > ymax
+                    lt = y32 < ymin
+                    jvec = jnp.full(y32.shape, j, jnp.int32)
+                    ymax = jnp.where(gt, y32, ymax)
+                    amax = jnp.where(gt, jvec, amax)
+                    ymin = jnp.where(lt, y32, ymin)
+                    amin = jnp.where(lt, jvec, amin)
             y_slabs.append(y)
+    if minmax:
+        ymax_ref[0] = ymax.astype(v_all.dtype)
+        amax_ref[0] = amax
+        ymin_ref[0] = ymin.astype(v_all.dtype)
+        amin_ref[0] = amin
 
     @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
     def _():
@@ -367,9 +391,10 @@ def _kernel_edge(g_rows_ref, g_all_ref, v_all_ref, u_rows_ref, idx_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "row_tile", "interpret", "fast"))
+    jax.jit,
+    static_argnames=("k", "row_tile", "interpret", "fast", "with_minmax"))
 def _knn_edge_impl(g, v, u, k: int, row_tile: int, interpret: bool,
-                   fast: bool):
+                   fast: bool, with_minmax: bool = False):
     b, n, cg = g.shape
     co = v.shape[-1]
     co_pad = _round_up(co, 8)
@@ -391,6 +416,33 @@ def _knn_edge_impl(g, v, u, k: int, row_tile: int, interpret: bool,
     kernel = functools.partial(
         _kernel_edge, k=k, n_valid=n, n_pad=n_pad, fast=fast,
         idx_bits=idx_bits)
+    if not with_minmax:
+        kernel = functools.partial(
+            kernel, ymax_ref=None, amax_ref=None, ymin_ref=None,
+            amin_ref=None)
+    row_spec = pl.BlockSpec((1, tm, co_pad), lambda bi, i: (bi, i, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [
+        pl.BlockSpec((1, tm, k), lambda bi, i: (bi, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tm, k * co_pad), lambda bi, i: (bi, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, co_pad), lambda bi, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, n_pad, k), jnp.int32),
+        jax.ShapeDtypeStruct((b, n_pad, k * co_pad), v.dtype),
+        jax.ShapeDtypeStruct((8, co_pad), jnp.float32),
+    ]
+    if with_minmax:
+        out_specs += [row_spec, row_spec, row_spec, row_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((b, n_pad, co_pad), v.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, co_pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, n_pad, co_pad), v.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, co_pad), jnp.int32),
+        ]
     outs = pl.pallas_call(
         kernel,
         grid=(b, n_pad // tm),
@@ -404,27 +456,20 @@ def _knn_edge_impl(g, v, u, k: int, row_tile: int, interpret: bool,
             pl.BlockSpec((1, tm, co_pad), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, tm, k), lambda bi, i: (bi, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tm, k * co_pad), lambda bi, i: (bi, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, co_pad), lambda bi, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, n_pad, k), jnp.int32),
-            jax.ShapeDtypeStruct((b, n_pad, k * co_pad), v.dtype),
-            jax.ShapeDtypeStruct((8, co_pad), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=(32 << 20) * max(1, (row_tile + 255) // 256)),
     )(g, g, v, u)
-    idx, y, mom = outs
+    idx, y, mom = outs[0], outs[1], outs[2]
     y = y[:, :n].reshape(b, n, k, co_pad)
     if co_pad != co:
         y = y[..., :co]
+    if with_minmax:
+        sl = (slice(None), slice(0, n), slice(0, co))
+        return (idx[:, :n], y, mom[:2, :co], outs[3][sl], outs[4][sl],
+                outs[5][sl], outs[6][sl])
     return idx[:, :n], y, mom[:2, :co]
 
 

@@ -94,6 +94,147 @@ def _scatter_w_kernel(idx_ref, w_ref, ct_ref, out_ref, *, n_pad: int, k: int,
     out_ref[0] += acc
 
 
+def _scatter_bn_kernel(idx_ref, y_ref, big_ref, a_ref, sv_ref, al_ref,
+                       be_ref, dv_ref, du_ref, *, n_pad: int, k: int,
+                       c: int, sparse: bool, op_dtype):
+    """Scatter with the batch-norm backward folded in: the cotangent
+
+        dy_j = FIRST_j + alpha + beta * y_j
+
+    is assembled in VMEM from the saved pre-BN activations y and
+    per-channel constants (the BN backward's dense moment-correction
+    terms are affine in y), then scattered (dv) and row-summed (du) —
+    the [B, N, k, C] dy tensor never exists in HBM.
+
+    FIRST_j is s * dz_j (``sparse=False``: big = the dense relu-masked
+    cotangent dz [TM, k*C]) or q * 1[asel == j] (``sparse=True``: the
+    k-max routed [TM, C] gradient; big = q, a_ref = asel).
+    """
+    i = pl.program_id(1)
+    idxt = idx_ref[0]                        # [TM, k] int32
+    y = y_ref[0]                             # [TM, k*C]
+    alpha = al_ref[...]                      # [1, C] f32
+    beta = be_ref[...]
+    sv = sv_ref[...]
+    tm = idxt.shape[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
+    if sparse:
+        q32 = big_ref[0].astype(jnp.float32)   # [TM, C]
+        av = a_ref[0]                          # [TM, C] int32
+    else:
+        dz = big_ref[0]                        # [TM, k*C]
+
+    @pl.when(i == 0)
+    def _():
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    acc = jnp.zeros_like(dv_ref[0])
+    du = jnp.zeros((tm, c), jnp.float32)
+    for j in range(k):
+        yj32 = y[:, j * c:(j + 1) * c].astype(jnp.float32)
+        if sparse:
+            first = jnp.where(av == j, q32, jnp.zeros_like(q32))
+        else:
+            first = sv * dz[:, j * c:(j + 1) * c].astype(jnp.float32)
+        dyj = first + alpha + beta * yj32
+        du = du + dyj
+        onehot = (col_ids == idxt[:, j:j + 1]).astype(op_dtype)
+        acc = acc + jax.lax.dot_general(
+            onehot, dyj.astype(op_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dv_ref[0] += acc
+    du_ref[0] = du
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "tile_rows", "interpret", "op_dtype"))
+def scatter_bn_bwd_pallas(
+    idx: jax.Array,      # int32 [B, P, k] target rows
+    y: jax.Array,        # [B, P, k, C] saved pre-BN activations
+    big,                 # dz [B, P, k, C]  OR  (q [B, P, C] f32, asel int32)
+    sv: jax.Array,       # [C] f32 scale on dz (dense mode; ignored sparse)
+    alpha: jax.Array,    # [C] f32
+    beta: jax.Array,     # [C] f32
+    n: int,
+    *,
+    tile_rows: int = 512,
+    interpret: bool = False,
+    op_dtype=None,
+) -> tuple:
+    """(dv [B,n,C] f32, du [B,P,C] f32) for dy = first + alpha + beta*y
+    assembled in VMEM — see _scatter_bn_kernel."""
+    if op_dtype is None:
+        op_dtype = jnp.bfloat16 if y.dtype == jnp.bfloat16 else jnp.float32
+    b, p, k = idx.shape
+    c = y.shape[-1]
+    sparse = isinstance(big, tuple)
+    n_pad = _round_up(n, 128)
+    tm = max(8, min(tile_rows, (4 << 20) // (4 * n_pad)))
+    p_pad = _round_up(p, tm)
+    y_r = y.reshape(b, p, k * c)
+    if sparse:
+        q, asel = big
+        if p_pad != p:
+            q = jnp.pad(q, ((0, 0), (0, p_pad - p), (0, 0)))
+            asel = jnp.pad(asel, ((0, 0), (0, p_pad - p), (0, 0)),
+                           constant_values=-1)
+        big_in, a_in = q, asel
+    else:
+        big_in = big.reshape(b, p, k * c)
+        if p_pad != p:
+            big_in = jnp.pad(big_in, ((0, 0), (0, p_pad - p), (0, 0)))
+        a_in = jnp.zeros((b, p_pad, 8), jnp.int32)
+    if p_pad != p:
+        idx = jnp.pad(idx, ((0, 0), (0, p_pad - p), (0, 0)),
+                      constant_values=n_pad)
+        # alpha lands on padded rows' du (sliced off); dv is safe (no
+        # column matches n_pad) but y must not produce NaNs
+        y_r = jnp.pad(y_r, ((0, 0), (0, p_pad - p), (0, 0)))
+    big_c = big_in.shape[-1]
+    a_c = a_in.shape[-1]
+    outs = pl.pallas_call(
+        functools.partial(
+            _scatter_bn_kernel, n_pad=n_pad, k=k, c=c, sparse=sparse,
+            op_dtype=op_dtype),
+        grid=(b, p_pad // tm),
+        in_specs=[
+            pl.BlockSpec((1, tm, k), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, k * c), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, big_c), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, a_c), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n_pad, c), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, c), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, p_pad, c), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 << 20),
+    )(idx, y_r, big_in, a_in,
+      sv.astype(jnp.float32)[None, :], alpha.astype(jnp.float32)[None, :],
+      beta.astype(jnp.float32)[None, :])
+    dv, du = outs
+    return dv[:, :n], du[:, :p]
+
+
 @functools.partial(
     jax.jit, static_argnames=("n", "tile_rows", "interpret", "op_dtype")
 )
