@@ -118,23 +118,31 @@ def apply_dgcnn_seg(
     # --- Spatial transform branch (ShapeNet only) ---
     if cfg.use_transform_net:
         g = _knn_input(x, cfg)
-        # NOTE: the fused kNN+conv front (apply_transform_net's fused_graph
-        # mode) measured 136 -> 148 ms/step HERE and is deliberately NOT
-        # used: the transform input is raw data (no gradient), so the
-        # straight path's edge-feature cotangent is dead code XLA removes —
-        # while the fused layer's dW_bot = f^T @ scatter(dy) identity makes
-        # the 7.4 ms Pallas scatter a REQUIRED dependency of the weight
-        # gradients. The EdgeConv stages keep the fused layer because their
-        # df is live and already pays that scatter.
-        ef = knn_ops.edge_feature_auto(
-            g, g.astype(compute_dtype), cfg.k,
-            use_fused=cfg.use_fused_knn, fast=cfg.knn_fast,
-        )
-        transform, new_state["transform_net"] = apply_transform_net(
-            params["transform_net"], state["transform_net"], ef,
-            K=g.shape[-1], training=training, bn_decay=bn_decay,
-            bn_eps=cfg.bn_eps,
-        )
+        # bf16/TPU: tconv1+tconv2+k-max as the merged minmax stage.
+        # (Round-2 history: fusing only the FIRST conv here measured
+        # 136 -> 148 ms/step — df is dead so the scatter its dW needs was
+        # pure added cost. The round-2.6 merged stage amortizes that
+        # scatter against the whole conv2+BN+k-max chain, flipping the
+        # trade — see apply_transform_net.)
+        if (cfg.use_fused_knn and compute_dtype == jnp.bfloat16
+                and jax.default_backend() in ("tpu", "axon")):
+            transform, new_state["transform_net"] = apply_transform_net(
+                params["transform_net"], state["transform_net"], None,
+                K=g.shape[-1], training=training, bn_decay=bn_decay,
+                bn_eps=cfg.bn_eps,
+                fused_graph=g.astype(compute_dtype), k=cfg.k,
+                fast=cfg.knn_fast,
+            )
+        else:
+            ef = knn_ops.edge_feature_auto(
+                g, g.astype(compute_dtype), cfg.k,
+                use_fused=cfg.use_fused_knn, fast=cfg.knn_fast,
+            )
+            transform, new_state["transform_net"] = apply_transform_net(
+                params["transform_net"], state["transform_net"], ef,
+                K=g.shape[-1], training=training, bn_decay=bn_decay,
+                bn_eps=cfg.bn_eps,
+            )
         x = jnp.einsum(
             "bnc,bcd->bnd", x, transform.astype(x.dtype),
             preferred_element_type=jnp.float32,

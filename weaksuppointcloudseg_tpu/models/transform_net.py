@@ -52,18 +52,24 @@ def apply_transform_net(
     new_state = {}
     kw = dict(training=training, bn_decay=bn_decay, eps=bn_eps)
     if fused_graph is not None:
-        # tconv1(edge_feature(g)) via the fused kNN+conv kernel — the edge
-        # tensor never exists (see layers.apply_edge_conv_knn_fused); the
-        # kNN graph and the gather run inside the same Pallas kernel the
-        # EdgeConv stages use. bf16/TPU configs only.
-        net, new_state["tconv1"] = layers.apply_edge_conv_knn_fused(
-            params["tconv1"], state["tconv1"], fused_graph, fused_graph, k,
-            fast=fast, **kw)
+        # tconv1 + tconv2 + k-max as one merged minmax stage (the same
+        # block the EdgeConv stages use): neither the edge tensor nor the
+        # [B, N, k, 128] tconv2 output exists in HBM. Round-2 note: the
+        # first-conv-only fusion here measured SLOWER (the required
+        # scatter was pure overhead since df is dead); the merged stage
+        # amortizes that scatter against the whole conv2+BN+k-max chain.
+        # bf16/TPU configs only.
+        net, new_state["tconv1"], new_state["tconv2"] = (
+            layers.apply_edge_conv_stage_fused(
+                params["tconv1"], state["tconv1"], params["tconv2"],
+                state["tconv2"], fused_graph, fused_graph, k,
+                fast=fast, **kw))
     else:
         net, new_state["tconv1"] = layers.apply_conv(
             params["tconv1"], state["tconv1"], edge_feat, **kw)
-    net, new_state["tconv2"] = layers.apply_conv(params["tconv2"], state["tconv2"], net, **kw)
-    net = jnp.max(net, axis=2)  # max over k -> [B, N, 128]
+        net, new_state["tconv2"] = layers.apply_conv(
+            params["tconv2"], state["tconv2"], net, **kw)
+        net = jnp.max(net, axis=2)  # max over k -> [B, N, 128]
     net, new_state["tconv3"] = layers.apply_conv(params["tconv3"], state["tconv3"], net, **kw)
     net = jnp.max(net, axis=1)  # max over N -> [B, 1024]
     net, new_state["tfc1"] = layers.apply_conv(params["tfc1"], state["tfc1"], net, **kw)
