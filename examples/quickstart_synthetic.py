@@ -84,8 +84,10 @@ def main() -> None:
         export_inference, load_inference)
 
     artifact = os.path.join(workdir, "model.stablehlo")
+    # default platforms ("cpu", "tpu"): the round-trip below must run on
+    # whichever backend this process uses (--tpu or the CPU pin)
     export_inference(cfg, trainer.state.params, trainer.state.bn_state,
-                     artifact, batch_size=2, platforms=("cpu",))
+                     artifact, batch_size=2)
     serve, meta = load_inference(artifact)
     x = np.asarray(ds.batches("val", 2).__next__().data[:2], np.float32)
     cat = np.zeros((2, cfg.model.num_categories), np.float32)

@@ -336,3 +336,226 @@ def test_model_fused_path_matches_straight_on_device():
     scale = np.abs(outs[False]).max()
     close = np.abs(outs[True] - outs[False]) <= 5e-2 * scale
     assert close.mean() > 0.98, f"only {close.mean():.4f} of logits agree"
+
+
+def test_conv_minmax_on_device(data):
+    """Compiled minmax kernel == XLA conv + k-extrema (bf16 bit-exact)."""
+    from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
+        conv_minmax_pallas,
+    )
+
+    rng = np.random.default_rng(5)
+    h1 = jax.device_put(
+        rng.standard_normal((B, 256, K, C)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    w2 = jax.device_put(
+        (rng.standard_normal((C, C)) * 0.2).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    b2 = jax.device_put(rng.standard_normal((C,)).astype(np.float32))
+    ymax, amax, ymin, amin, mom = conv_minmax_pallas(h1, w2, b2)
+    y = jnp.einsum("bnki,io->bnko", h1, w2,
+                   preferred_element_type=jnp.float32) + b2
+    y = y.astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(ymax),
+                                  np.asarray(jnp.max(y, axis=2)))
+    np.testing.assert_array_equal(np.asarray(ymin),
+                                  np.asarray(jnp.min(y, axis=2)))
+    np.testing.assert_array_equal(np.asarray(amax),
+                                  np.asarray(jnp.argmax(y, axis=2)))
+    y32 = y.astype(jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(mom),
+        np.asarray(jnp.stack([jnp.sum(y32, axis=(0, 1, 2)),
+                              jnp.sum(jnp.square(y32), axis=(0, 1, 2))])),
+        rtol=1e-4)
+
+
+def test_scatter_bn_bwd_on_device(data):
+    """Fold-in scatter (dense + sparse modes) vs materialized dy math."""
+    from weaksuppointcloudseg_tpu.ops.scatter_pallas import (
+        scatter_bn_bwd_pallas,
+    )
+
+    rng = np.random.default_rng(6)
+    P = 256
+    idx = jax.device_put(rng.integers(0, N, (B, P, K)).astype(np.int32))
+    y = jax.device_put(
+        rng.standard_normal((B, P, K, C)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    sv = jax.device_put(rng.standard_normal((C,)).astype(np.float32))
+    al = jax.device_put((rng.standard_normal((C,)) * .1).astype(np.float32))
+    be = jax.device_put((rng.standard_normal((C,)) * .1).astype(np.float32))
+    bidx = jnp.arange(B)[:, None, None]
+
+    dz = jax.device_put(
+        rng.standard_normal((B, P, K, C)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    dv, du = scatter_bn_bwd_pallas(idx, y, dz, sv, al, be, N)
+    dy = (sv * dz.astype(jnp.float32) + al + be * y.astype(jnp.float32))
+    # du accumulates the f32 dy; dv's matmul rounds dy to bf16 operands
+    # first — the same rounding the materialize-then-scatter path applies
+    np.testing.assert_allclose(np.asarray(du),
+                               np.asarray(jnp.sum(dy, axis=2)),
+                               rtol=2e-2, atol=2e-2)
+    dyb = dy.astype(jnp.bfloat16).astype(jnp.float32)
+    want = jnp.zeros((B, N, C)).at[bidx, idx].add(dyb)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+    q = jax.device_put(rng.standard_normal((B, P, C)).astype(np.float32))
+    asel = jax.device_put(rng.integers(0, K, (B, P, C)).astype(np.int32))
+    dv, du = scatter_bn_bwd_pallas(idx, y, (q, asel), sv, al, be, N)
+    onek = asel[:, :, None, :] == jnp.arange(K)[None, None, :, None]
+    dy = onek * q[:, :, None, :] + al + be * y.astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(du),
+                               np.asarray(jnp.sum(dy, axis=2)),
+                               rtol=2e-2, atol=2e-2)
+    dyb = dy.astype(jnp.bfloat16).astype(jnp.float32)
+    want = jnp.zeros((B, N, C)).at[bidx, idx].add(dyb)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_stage_grads_match_straight_on_device():
+    """Merged-stage custom VJP vs autodiff of the straight path on the
+    chip (bf16): gradients of all stage params within bf16 tolerance."""
+    from weaksuppointcloudseg_tpu.models import layers
+    from weaksuppointcloudseg_tpu.ops import neighbors as knn_ops
+
+    rng = np.random.default_rng(9)
+    b, n, k, c, c2 = 2, 256, 8, 16, 32
+    f = jax.device_put(
+        rng.standard_normal((b, n, c)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    # f32 graph coords: both paths must select the SAME neighbors, else
+    # discrete index flips (not kernel error) dominate the gradient diff
+    g = jax.device_put(rng.standard_normal((b, n, 3)).astype(np.float32))
+
+    def mk(ci, co, seed):
+        r = np.random.default_rng(seed)
+        gam = r.standard_normal((co,)) * 0.3 + 1.0
+        gam = np.where(np.arange(co) % 3 == 0, -gam, gam)
+        return {
+            "w": jax.device_put(
+                (r.standard_normal((ci, co)) * 0.3).astype(np.float32)),
+            "b": jax.device_put(
+                (r.standard_normal((co,)) * 0.1).astype(np.float32)),
+            "gamma": jax.device_put(gam.astype(np.float32)),
+            "beta": jax.device_put(
+                (r.standard_normal((co,)) * 0.1).astype(np.float32)),
+        }
+
+    p1, p2 = mk(2 * c, c2, 1), mk(c2, c2, 2)
+    st = {"mean": jnp.zeros((c2,)), "var": jnp.ones((c2,))}
+    R = jax.device_put(rng.standard_normal((b, n, c2)).astype(np.float32))
+    kw = dict(training=True, bn_decay=0.9)
+
+    def fused(p1, p2, f):
+        out, _, _ = layers.apply_edge_conv_stage_fused(
+            p1, st, p2, st, f, g, k, **kw)
+        return jnp.sum(out.astype(jnp.float32) * R)
+
+    g_host, R_host = np.asarray(g), np.asarray(R)
+
+    def straight(p1, p2, f):
+        # pure-jnp reference (no backend-dispatched custom VJPs: the
+        # gather/scatter helpers pick Pallas kernels by default_backend(),
+        # which stays "axon" even when lowering for the host CPU)
+        idx = knn_ops.knn(knn_ops.pairwise_sqdist(jnp.asarray(g_host)), k)
+        nbr = jax.vmap(lambda fb, ib: fb[ib])(f, idx)
+        h1, _ = layers.apply_edge_conv(p1, st, f, nbr, **kw)
+        y, _ = layers.apply_conv(p2, st, h1, **kw)
+        return jnp.sum(jnp.max(y, axis=2).astype(jnp.float32)
+                       * jnp.asarray(R_host))
+
+    v_f, g_f = jax.jit(jax.value_and_grad(fused, argnums=(0, 1)))(p1, p2, f)
+    # Reference grads on the HOST CPU backend: the straight bf16
+    # conv+BN+k-max composition MISCOMPILES on this TPU backend (its
+    # compiled gradients are identically zero — see docs/kernels.md
+    # "bf16 conv+BN+reduce-max(axis=2) zero-gradient miscompile"); the
+    # CPU lowering is correct and serves as the golden.
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        put = lambda t: jax.tree_util.tree_map(
+            lambda a: jax.device_put(np.asarray(a), cpu), t)
+        v_u, g_u = jax.jit(jax.value_and_grad(straight, argnums=(0, 1)))(
+            put(p1), put(p2), put(f))
+    np.testing.assert_allclose(float(v_f), float(v_u), rtol=2e-2)
+    # Elementwise bf16 noise compounds differently through the on-chip
+    # scatter sums than through the exact CPU lowering; the meaningful
+    # check is that each parameter's gradient VECTOR agrees in direction
+    # and magnitude. (The b gradients are ~0 by BN shift-invariance.)
+    for gi, (gf, gu) in enumerate(zip(g_f, g_u)):
+        for name in ("w", "gamma", "beta"):
+            a = np.asarray(gf[name], np.float64).ravel()
+            bb = np.asarray(gu[name], np.float64).ravel()
+            cos = float(a @ bb / (np.linalg.norm(a) * np.linalg.norm(bb)
+                                  + 1e-12))
+            ratio = float(np.linalg.norm(a)
+                          / (np.linalg.norm(bb) + 1e-12))
+            assert cos > 0.98, f"p{gi+1}.{name}: cos={cos:.4f}"
+            assert 0.8 < ratio < 1.25, \
+                f"p{gi+1}.{name}: norm ratio={ratio:.3f}"
+
+
+def test_conv_kmax_bwd_on_device(data):
+    """Compiled one-pass stage backward (Gram accumulators + dz1 + BN1
+    reduces, BN-fold mode) vs the einsum math, on the chip."""
+    from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
+        conv_kmax_bwd_pallas,
+    )
+
+    rng = np.random.default_rng(7)
+    P, C2 = 256, C
+    y1 = jax.device_put(
+        rng.standard_normal((B, P, K, C)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    q = jax.device_put(rng.standard_normal((B, P, C2)).astype(np.float32))
+    asel = jax.device_put(rng.integers(0, K, (B, P, C2)).astype(np.int32))
+    w2t = jax.device_put(
+        (rng.standard_normal((C2, C)) * 0.3).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    m = jax.device_put(
+        (rng.standard_normal((C, C)) * 0.05).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    row0 = jax.device_put(
+        (rng.standard_normal((C,)) * 0.1).astype(np.float32))
+    sc = jax.device_put(rng.standard_normal((C,)).astype(np.float32))
+    sh = jax.device_put((rng.standard_normal((C,)) * .2).astype(np.float32))
+    mean = jax.device_put(
+        (rng.standard_normal((C,)) * .1).astype(np.float32))
+    inv = jax.device_put(
+        rng.uniform(0.5, 1.5, (C,)).astype(np.float32))
+
+    dz1, tsp, g, s1, ab = conv_kmax_bwd_pallas(
+        y1, q, asel, w2t, m, row0, sc, sh, mean, inv)
+
+    y32 = y1.astype(jnp.float32)
+    h = jax.nn.relu(y32 * sc + sh).astype(jnp.bfloat16)
+    onek = asel[:, :, None, :] == jnp.arange(K)[None, None, :, None]
+    Dq = (onek * q[:, :, None, :]).astype(jnp.bfloat16)
+    ref_tsp = jnp.einsum("bnji,bnjc->ic", h, Dq,
+                         preferred_element_type=jnp.float32)
+    ref_g = jnp.einsum("bnji,bnjl->il", h, h,
+                       preferred_element_type=jnp.float32)
+    ref_s1 = jnp.sum(h.astype(jnp.float32), axis=(0, 1, 2))
+    dh = (jnp.einsum("bnjc,ci->bnji", Dq, w2t,
+                     preferred_element_type=jnp.float32)
+          + jnp.einsum("bnji,il->bnjl", h, m,
+                       preferred_element_type=jnp.float32) + row0)
+    ref_dz1 = jnp.where(h.astype(jnp.float32) > 0, dh, 0.0)
+    ref_a1 = jnp.sum(ref_dz1, axis=(0, 1, 2))
+    xhat = (y32 - mean) * inv
+    ref_a2 = jnp.sum(ref_dz1 * xhat, axis=(0, 1, 2))
+
+    def close(a, b, tol):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a / scale, b / scale, atol=tol)
+
+    close(tsp, ref_tsp, 5e-3)
+    close(g, ref_g, 5e-3)
+    close(s1, ref_s1, 5e-3)
+    close(ab[0], ref_a1, 5e-3)
+    close(ab[1], ref_a2, 5e-3)
+    close(dz1, ref_dz1.astype(jnp.bfloat16), 5e-2)

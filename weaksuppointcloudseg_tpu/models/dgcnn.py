@@ -108,6 +108,19 @@ def apply_dgcnn_seg(
 ) -> Tuple[jax.Array, dict]:
     """Forward pass. Returns (logits [B, N, num_classes], new BN state)."""
     new_state = dict(state)
+    if (training and jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
+            and not cfg.use_fused_knn
+            and jax.default_backend() in ("tpu", "axon")):
+        import warnings
+
+        warnings.warn(
+            "bfloat16 training with use_fused_knn=False on a TPU backend: "
+            "the straight conv+BN+k-max composition miscompiles here (its "
+            "gradients are identically zero for every parameter upstream "
+            "of a k-max — verified against the CPU lowering, see "
+            "docs/kernels.md). Use the fused path (use_fused_knn=True, "
+            "the default) or float32 compute.",
+            stacklevel=2)
     kw = dict(training=training, bn_decay=bn_decay, eps=cfg.bn_eps)
     head_kw = dict(kw)
     if head_bn_fixed_decay is not None:
@@ -210,10 +223,17 @@ def apply_dgcnn_seg(
 
     # --- Global feature ---
     concat = jnp.concatenate(stage_outputs, axis=-1)  # [B, N, sum(C)]
-    g, new_state["agg_conv"] = layers.apply_conv(
-        params["agg_conv"], state["agg_conv"], concat, **kw
-    )
-    global_feat = jnp.max(g, axis=1)  # [B, global_channels]
+    if (cfg.use_fused_knn and compute_dtype == jnp.bfloat16
+            and jax.default_backend() in ("tpu", "axon")):
+        # agg conv + BN + relu + max-over-N fused: the [B, N, 1024]
+        # global-feature tensor never reaches HBM
+        global_feat, new_state["agg_conv"] = layers.apply_conv_bn_relu_nmax(
+            params["agg_conv"], state["agg_conv"], concat, **kw)
+    else:
+        g, new_state["agg_conv"] = layers.apply_conv(
+            params["agg_conv"], state["agg_conv"], concat, **kw
+        )
+        global_feat = jnp.max(g, axis=1)  # [B, global_channels]
 
     if cfg.num_categories > 0:
         assert cat_onehot is not None, "model was built with a category branch"

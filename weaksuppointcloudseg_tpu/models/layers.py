@@ -893,6 +893,121 @@ def apply_conv_bn_relu_kmax(
     return jax.nn.relu(z).astype(h.dtype), state
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _conv_bn_nmax_train(eps, interpret, w, b, gamma, beta, h):
+    """Training-mode global-aggregation conv + BN + relu + max over the
+    POINT axis, fused (the DGCNN_ShapeNet.py:80-85 block). Same
+    monotone-affine minmax argument as _conv_bn_kmax_train, but since h
+    is narrow ([B, N, C1]) the backward RECOMPUTES y = h@W + b in-kernel
+    and uses direct matmuls for dW/dh — no Gram identities and no
+    [B, N, C2] tensor in HBM in either direction
+    (ops/conv_kmax_pallas.py::conv_nmax_*)."""
+    out, mean, var, _ = _cbn_fwd_math(eps, interpret, w, b, gamma, beta, h)
+    return out, mean, var
+
+
+def _cbn_fwd_math(eps, interpret, w, b, gamma, beta, h):
+    from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
+        conv_nmax_pallas,
+    )
+
+    ymax, amax, ymin, amin, mom = conv_nmax_pallas(
+        jax.lax.stop_gradient(h), jax.lax.stop_gradient(w).astype(h.dtype),
+        jax.lax.stop_gradient(b), interpret=interpret)
+    r = h.shape[0] * h.shape[1]
+    mean = mom[0] / r
+    var = jnp.maximum(mom[1] / r - jnp.square(mean), 0.0)
+    s, t, inv = _bn_affine(mean, var, gamma, beta, eps)
+    ysel, asel = _minmax_select(ymax, amax, ymin, amin, s)
+    z = ysel * s + t
+    out = jax.nn.relu(z).astype(h.dtype)
+    return out, mean, var, (ysel, asel, inv)
+
+
+def _cbn_fwd(eps, interpret, w, b, gamma, beta, h):
+    out, mean, var, (ysel, asel, inv) = _cbn_fwd_math(
+        eps, interpret, w, b, gamma, beta, h)
+    res = (h, ysel, asel, mean, inv, w, b, gamma, beta)
+    return (out, mean, var), res
+
+
+def _cbn_bwd(eps, interpret, res, cts):
+    h, ysel, asel, mean, inv, w, b, gamma, beta = res
+    dout = cts[0].astype(jnp.float32)
+    r = h.shape[0] * h.shape[1]
+
+    s = inv * gamma
+    z = ysel * s + (beta - mean * s)
+    dz = dout * (z > 0)
+    xhat = (ysel - mean) * inv
+    a1 = jnp.sum(dz, axis=0)
+    a2 = jnp.sum(dz * xhat, axis=0)
+    q = s * dz                                   # [B, C2]
+    alpha = s * (-a1 / r + (a2 / r) * inv * mean)
+    betav = -s * (a2 / r) * inv
+
+    if not interpret and jax.default_backend() in ("tpu", "axon"):
+        from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
+            conv_nmax_bwd_pallas,
+        )
+
+        dh, dW, db = conv_nmax_bwd_pallas(
+            h, q, asel, w.astype(h.dtype), b, alpha, betav)
+        dh = dh.astype(h.dtype)
+    else:
+        y = jnp.einsum("bni,io->bno", h, w.astype(h.dtype),
+                       preferred_element_type=jnp.float32) + b
+        y = y.astype(h.dtype).astype(jnp.float32)
+        onen = asel[:, None, :] == jax.lax.broadcasted_iota(
+            jnp.int32, (1, h.shape[1], 1), 1)
+        dy = onen * q[:, None, :] + alpha + betav * y
+        dyc = dy.astype(h.dtype)
+        dh = jnp.einsum("bno,io->bni", dyc, w.astype(h.dtype),
+                        preferred_element_type=jnp.float32).astype(h.dtype)
+        dW = jnp.einsum("bni,bno->io", h, dyc,
+                        preferred_element_type=jnp.float32)
+        db = jnp.sum(dy, axis=(0, 1))
+    return (dW.astype(w.dtype), db.astype(b.dtype), a2, a1, dh)
+
+
+_conv_bn_nmax_train.defvjp(_cbn_fwd, _cbn_bwd)
+
+
+def apply_conv_bn_relu_nmax(
+    params: Params,
+    state: State,
+    h: jax.Array,          # [B, N, C1] point features (bf16 TPU path)
+    *,
+    training: bool,
+    bn_decay=None,
+    eps: float = BN_EPS,
+    interpret: bool = False,
+) -> Tuple[jax.Array, State]:
+    """Global-aggregation conv + BN + relu + max over N as one fused
+    block. Returns ([B, C2] global feature, new BN state)."""
+    if training:
+        out, mean, var = _conv_bn_nmax_train(
+            eps, interpret, params["w"], params["b"], params["gamma"],
+            params["beta"], h)
+        new_state = {
+            "mean": state["mean"] * bn_decay + mean * (1.0 - bn_decay),
+            "var": state["var"] * bn_decay + var * (1.0 - bn_decay),
+        }
+        return out, new_state
+
+    from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
+        conv_nmax_pallas,
+    )
+
+    ymax, amax, ymin, amin, _ = conv_nmax_pallas(
+        h, params["w"].astype(h.dtype), params["b"], interpret=interpret)
+    s, t, _ = _bn_affine(state["mean"], state["var"], params["gamma"],
+                         params["beta"], eps)
+    ysel, _ = _minmax_select(ymax, amax, ymin, amin, s)
+    z = ysel * s + t
+    return jax.nn.relu(z).astype(h.dtype), state
+
+
 def dropout(x: jax.Array, rng, keep_prob: float, *, training: bool) -> jax.Array:
     """Inverted dropout matching tf.nn.dropout(keep_prob)."""
     if not training or keep_prob >= 1.0:

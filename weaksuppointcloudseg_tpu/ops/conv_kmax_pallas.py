@@ -426,3 +426,254 @@ def conv_kmax_bwd_pallas(h1, q, asel, w2t, m, row0, scale1=None,
     dh, tsp, gram, s1 = outs
     dh = dh.reshape(b, n_pad, k, c1p)[:, :n, :, :c1]
     return dh, tsp[:c1, :c2], gram[:c1, :c1], s1[0, :c1], s1[1:3, :c1]
+
+
+def _kernel_conv_nmax(h_ref, w_ref, b_ref, ymax_ref, amax_ref, ymin_ref,
+                      amin_ref, mom_ref, *, n_valid: int, n_pad: int,
+                      tm: int):
+    """conv + running per-channel N-extrema: the global-aggregation conv's
+    max over the POINT axis (DGCNN_ShapeNet.py:80-85 reduce_max over N).
+    The reduction axis is the tiled axis, so the extrema/arg blocks are
+    per-batch revisited outputs updated across row tiles."""
+    i = pl.program_id(1)
+    h = h_ref[0]                      # [TM, C1]
+    w = w_ref[...]                    # [C1, C2]
+    b = b_ref[...]                    # [1, C2] f32
+
+    y = jax.lax.dot_general(
+        h, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b
+    y32 = y.astype(h.dtype).astype(jnp.float32)  # parity rounding
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, y32.shape, 0) + i * tm
+    if n_valid < n_pad:
+        valid = row_ids < n_valid
+        # padded rows: poison the max with -inf/+inf, zero the moments
+        neg = jnp.full_like(y32, -jnp.inf)
+        pos = jnp.full_like(y32, jnp.inf)
+        y_max_in = jnp.where(valid, y32, neg)
+        y_min_in = jnp.where(valid, y32, pos)
+        y_mom = jnp.where(valid, y32, jnp.zeros_like(y32))
+    else:
+        y_max_in = y_min_in = y_mom = y32
+
+    ysum = jnp.sum(y_mom, axis=0, keepdims=True)
+    ysq = jnp.sum(jnp.square(y_mom), axis=0, keepdims=True)
+
+    # tile-local extrema + their global row indices
+    tmax = jnp.max(y_max_in, axis=0, keepdims=True)          # [1, C2]
+    tmin = jnp.min(y_min_in, axis=0, keepdims=True)
+    targ_max = jnp.min(jnp.where(y_max_in == tmax, row_ids, n_pad),
+                       axis=0, keepdims=True)
+    targ_min = jnp.min(jnp.where(y_min_in == tmin, row_ids, n_pad),
+                       axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _():
+        ymax_ref[...] = jnp.full_like(ymax_ref, -jnp.inf)
+        ymin_ref[...] = jnp.full_like(ymin_ref, jnp.inf)
+        amax_ref[...] = jnp.zeros_like(amax_ref)
+        amin_ref[...] = jnp.zeros_like(amin_ref)
+
+    @pl.when((pl.program_id(0) == 0) & (i == 0))
+    def _():
+        mom_ref[...] = jnp.zeros_like(mom_ref)
+
+    run_max = ymax_ref[...]
+    gt = tmax > run_max
+    ymax_ref[...] = jnp.where(gt, tmax, run_max)
+    amax_ref[...] = jnp.where(gt, targ_max, amax_ref[...])
+    run_min = ymin_ref[...]
+    lt = tmin < run_min
+    ymin_ref[...] = jnp.where(lt, tmin, run_min)
+    amin_ref[...] = jnp.where(lt, targ_min, amin_ref[...])
+    pad = jnp.zeros((6, ysum.shape[1]), jnp.float32)
+    mom_ref[...] += jnp.concatenate([ysum, ysq, pad], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("row_tile", "interpret"))
+def conv_nmax_pallas(h, w, b, *, row_tile: int = 512,
+                     interpret: bool = False):
+    """y = h @ w + b reduced to per-channel extrema over the POINT axis.
+
+    Args:
+      h: [B, N, C1] point features.
+      w: [C1, C2] conv weight (h.dtype).
+      b: [C2] f32 bias.
+
+    Returns:
+      (ymax f32 [B, C2], amax int32 [B, C2] (global row index),
+       ymin f32 [B, C2], amin int32 [B, C2], mom f32 [2, C2]).
+    """
+    bsz, n, c1 = h.shape
+    c2 = w.shape[1]
+    c1p = _round_up(c1, 8)
+    c2p = _round_up(c2, 128)
+    if c1p != c1:
+        h = jnp.pad(h, ((0, 0), (0, 0), (0, c1p - c1)))
+        w = jnp.pad(w, ((0, c1p - c1), (0, 0)))
+    if c2p != c2:
+        w = jnp.pad(w, ((0, 0), (0, c2p - c2)))
+        b = jnp.pad(b, (0, c2p - c2))
+    tm = min(row_tile, _round_up(n, 8))
+    budget = 6 << 20
+    per_row = c1p * h.dtype.itemsize + c2p * 4
+    tm = max(8, min(tm, _round_up(budget // max(per_row, 1), 8)))
+    n_pad = _round_up(n, tm)
+    if n_pad != n:
+        h = jnp.pad(h, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    kernel = functools.partial(
+        _kernel_conv_nmax, n_valid=n, n_pad=n_pad, tm=tm)
+    bvec = pl.BlockSpec((1, 1, c2p), lambda bi, i: (bi, 0, 0),
+                        memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bsz, n_pad // tm),
+        in_specs=[
+            pl.BlockSpec((1, tm, c1p), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c1p, c2p), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2p), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(bvec, bvec, bvec, bvec,
+                   pl.BlockSpec((8, c2p), lambda bi, i: (0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, 1, c2p), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, c2p), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, 1, c2p), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, c2p), jnp.int32),
+            jax.ShapeDtypeStruct((8, c2p), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 << 20),
+    )(h, w, b.astype(jnp.float32)[None, :])
+    ymax, amax, ymin, amin, mom = outs
+    sl = (slice(None), 0, slice(0, c2))
+    return ymax[sl], amax[sl], ymin[sl], amin[sl], mom[:2, :c2]
+
+
+def _kernel_nmax_bwd(h_ref, q_ref, a_ref, w_ref, b_ref, wt_ref, al_ref,
+                     be_ref, dh_ref, dw_ref, acc_ref, *, n_valid: int,
+                     n_pad: int, tm: int):
+    """Backward of conv + BN + relu + N-max: y is RECOMPUTED in-kernel
+    from the narrow h tile, dy = q·1[row = asel] + alpha + beta*y is
+    assembled in VMEM, and dh / dW / db come from direct matmuls — no
+    [B, N, C2] tensor ever exists in HBM in either direction."""
+    i = pl.program_id(1)
+    h = h_ref[0]                      # [TM, C1]
+    q = q_ref[...].reshape(1, -1)     # [1, C2] f32 (per batch)
+    asel = a_ref[...].reshape(1, -1)  # [1, C2] int32
+    w = w_ref[...]
+    b = b_ref[...]
+    wt = wt_ref[...]                  # [C2, C1]
+    alpha = al_ref[...]
+    beta = be_ref[...]
+
+    y = jax.lax.dot_general(
+        h, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b
+    y32 = y.astype(h.dtype).astype(jnp.float32)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, y32.shape, 0) + i * tm
+    dy = jnp.where(row_ids == asel, q, 0.0) + alpha + beta * y32
+    if n_valid < n_pad:
+        # zero-padded h rows still get y = bias -> dy = alpha + beta*b:
+        # mask them out of db (and dW/dh hygiene)
+        dy = jnp.where(row_ids < n_valid, dy, jnp.zeros_like(dy))
+    dyc = dy.astype(h.dtype)
+    dh_ref[0] = jax.lax.dot_general(
+        dyc, wt, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(h.dtype)
+
+    @pl.when((pl.program_id(0) == 0) & (i == 0))
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    dw_ref[...] += jax.lax.dot_general(
+        h, dyc, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db = jnp.sum(dy, axis=0, keepdims=True)
+    acc_ref[...] += jnp.concatenate(
+        [db, jnp.zeros((7, db.shape[1]), jnp.float32)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("row_tile", "interpret"))
+def conv_nmax_bwd_pallas(h, q, asel, w, b, alpha, beta, *,
+                         row_tile: int = 512, interpret: bool = False):
+    """(dh [B,N,C1], dW f32 [C1,C2], db f32 [C2]) for the N-max block.
+
+    q/asel: [B, C2] routed gradient and winning row per channel;
+    alpha/beta: [C2] BN dense-correction constants (dy = sparse + alpha
+    + beta*y)."""
+    bsz, n, c1 = h.shape
+    c2 = w.shape[1]
+    c1p = _round_up(c1, 8)
+    c2p = _round_up(c2, 128)
+    if c1p != c1:
+        h = jnp.pad(h, ((0, 0), (0, 0), (0, c1p - c1)))
+        w = jnp.pad(w, ((0, c1p - c1), (0, 0)))
+    if c2p != c2:
+        w = jnp.pad(w, ((0, 0), (0, c2p - c2)))
+        b = jnp.pad(b, (0, c2p - c2))
+        q = jnp.pad(q, ((0, 0), (0, c2p - c2)))
+        asel = jnp.pad(asel, ((0, 0), (0, c2p - c2)), constant_values=-1)
+        alpha = jnp.pad(alpha, (0, c2p - c2))
+        beta = jnp.pad(beta, (0, c2p - c2))
+    tm = min(row_tile, _round_up(n, 8))
+    budget = 6 << 20
+    per_row = 2 * c1p * h.dtype.itemsize + c2p * 4
+    tm = max(8, min(tm, _round_up(budget // max(per_row, 1), 8)))
+    n_pad = _round_up(n, tm)
+    if n_pad != n:
+        h = jnp.pad(h, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    kernel = functools.partial(_kernel_nmax_bwd, n_valid=n, n_pad=n_pad,
+                               tm=tm)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bsz, n_pad // tm),
+        in_specs=[
+            pl.BlockSpec((1, tm, c1p), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c2p), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c2p), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c1p, c2p), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2p), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c2p, c1p), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2p), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2p), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tm, c1p), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c1p, c2p), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, c2p), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, n_pad, c1p), h.dtype),
+            jax.ShapeDtypeStruct((c1p, c2p), jnp.float32),
+            jax.ShapeDtypeStruct((8, c2p), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 << 20),
+    )(h, q[:, None, :], asel[:, None, :],
+      w, b.astype(jnp.float32)[None, :],
+      jnp.transpose(w).astype(h.dtype),
+      alpha.astype(jnp.float32)[None, :], beta.astype(jnp.float32)[None, :])
+    dh, dw, acc = outs
+    return dh[:, :n, :c1], dw[:c1, :c2], acc[0, :c2]
