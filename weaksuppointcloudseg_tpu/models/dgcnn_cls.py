@@ -72,6 +72,15 @@ def apply_dgcnn_cls(
 ) -> Tuple[jax.Array, dict]:
     """Forward pass -> (logits [B, num_classes], new BN state)."""
     new_state = dict(state)
+    if (training and x.dtype == jnp.bfloat16
+            and jax.default_backend() in ("tpu", "axon")):
+        import warnings
+
+        warnings.warn(
+            "bfloat16 training of the classifier on a TPU backend uses the "
+            "straight conv+BN+k-max composition, which miscompiles to zero "
+            "gradients here (docs/kernels.md) — train in float32 on device.",
+            stacklevel=2)
     kw = dict(training=training, bn_decay=bn_decay, eps=cfg.bn_eps)
 
     ef = knn_ops.edge_feature_auto(x, x, cfg.k, use_fused=cfg.use_fused_knn)
