@@ -249,3 +249,99 @@ def test_stage1_matches_unfused(rng):
                                     bn_decay=None)
     np.testing.assert_allclose(out_e, jnp.max(h1e, axis=2), rtol=1e-5,
                                atol=1e-6)
+
+
+@pytest.mark.parametrize("b,n,c1,c2", [(2, 60, 12, 16), (2, 64, 24, 40)])
+def test_nmax_forward_matches_reference(rng, b, n, c1, c2):
+    """conv_nmax_pallas (max over the POINT axis, cross-tile arg merge)
+    vs straight conv + extrema; n=60 exercises row padding poisons."""
+    from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
+        conv_nmax_pallas,
+    )
+
+    h = jnp.asarray(rng.standard_normal((b, n, c1)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((c1, c2)) * 0.3, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((c2,)) * 0.1, jnp.float32)
+    ymax, amax, ymin, amin, mom = conv_nmax_pallas(
+        h, w, bias, row_tile=16, interpret=True)
+    y = jnp.einsum("bni,io->bno", h, w,
+                   preferred_element_type=jnp.float32) + bias
+    np.testing.assert_allclose(ymax, jnp.max(y, axis=1), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(ymin, jnp.min(y, axis=1), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_array_equal(amax, jnp.argmax(y, axis=1))
+    np.testing.assert_array_equal(amin, jnp.argmin(y, axis=1))
+    np.testing.assert_allclose(
+        mom, jnp.stack([jnp.sum(y, axis=(0, 1)),
+                        jnp.sum(jnp.square(y), axis=(0, 1))]),
+        rtol=2e-5, atol=1e-5)
+
+
+def test_nmax_bwd_kernel_matches_reference(rng):
+    """conv_nmax_bwd_pallas (y recomputed in-kernel, routed + affine dy)
+    vs the materialized-dy math, incl. padded-row db masking."""
+    from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
+        conv_nmax_bwd_pallas,
+    )
+
+    b, n, c1, c2 = 2, 60, 12, 16
+    h = jnp.asarray(rng.standard_normal((b, n, c1)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((c1, c2)) * 0.3, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((c2,)) * 0.1, jnp.float32)
+    q = jnp.asarray(rng.standard_normal((b, c2)), jnp.float32)
+    asel = jnp.asarray(rng.integers(0, n, (b, c2)), jnp.int32)
+    al = jnp.asarray(rng.standard_normal((c2,)) * 0.1, jnp.float32)
+    be = jnp.asarray(rng.standard_normal((c2,)) * 0.1, jnp.float32)
+    dh, dw, db = conv_nmax_bwd_pallas(h, q, asel, w, bias, al, be,
+                                      row_tile=16, interpret=True)
+    y = jnp.einsum("bni,io->bno", h, w,
+                   preferred_element_type=jnp.float32) + bias
+    onen = asel[:, None, :] == jnp.arange(n)[None, :, None]
+    dy = onen * q[:, None, :] + al + be * y
+    np.testing.assert_allclose(dh, jnp.einsum("bno,io->bni", dy, w),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(dw, jnp.einsum("bni,bno->io", h, dy),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(db, jnp.sum(dy, axis=(0, 1)), rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_nmax_layer_grads_match_unfused(rng):
+    """apply_conv_bn_relu_nmax == apply_conv + max over N: value, all
+    four parameter gradients, dh, BN states, and eval."""
+    b, n, c1, c2 = 2, 60, 12, 16
+    h = jnp.asarray(rng.standard_normal((b, n, c1)), jnp.float32)
+    params = _mk_params(c1, c2, 51)
+    st = {"mean": jnp.zeros((c2,)), "var": jnp.ones((c2,))}
+    R = jnp.asarray(rng.standard_normal((b, c2)), jnp.float32)
+    kw = dict(training=True, bn_decay=0.9)
+
+    def fused(params, h):
+        out, _ = layers.apply_conv_bn_relu_nmax(
+            params, st, h, interpret=True, **kw)
+        return jnp.sum(out * R)
+
+    def unfused(params, h):
+        y, _ = layers.apply_conv(params, st, h, **kw)
+        return jnp.sum(jnp.max(y, axis=1) * R)
+
+    v_f, g_f = jax.value_and_grad(fused, argnums=(0, 1))(params, h)
+    v_u, g_u = jax.value_and_grad(unfused, argnums=(0, 1))(params, h)
+    np.testing.assert_allclose(v_f, v_u, rtol=1e-5)
+    for name in ("w", "b", "gamma", "beta"):
+        np.testing.assert_allclose(g_f[0][name], g_u[0][name], rtol=5e-4,
+                                   atol=5e-5, err_msg=name)
+    np.testing.assert_allclose(g_f[1], g_u[1], rtol=5e-4, atol=5e-5)
+
+    _, ns = layers.apply_conv_bn_relu_nmax(params, st, h, interpret=True,
+                                           **kw)
+    y, us = layers.apply_conv(params, st, h, **kw)
+    np.testing.assert_allclose(ns["mean"], us["mean"], rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(ns["var"], us["var"], rtol=1e-5, atol=1e-6)
+    oe, _ = layers.apply_conv_bn_relu_nmax(
+        params, st, h, interpret=True, training=False, bn_decay=None)
+    ye, _ = layers.apply_conv(params, st, h, training=False, bn_decay=None)
+    np.testing.assert_allclose(oe, jnp.max(ye, axis=1), rtol=1e-5,
+                               atol=1e-6)

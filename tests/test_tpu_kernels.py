@@ -559,3 +559,58 @@ def test_conv_kmax_bwd_on_device(data):
     close(ab[0], ref_a1, 5e-3)
     close(ab[1], ref_a2, 5e-3)
     close(dz1, ref_dz1.astype(jnp.bfloat16), 5e-2)
+
+
+def test_conv_nmax_on_device(data):
+    """Compiled N-max kernels: cross-tile extrema/arg merge and the
+    recompute-y backward on real Mosaic."""
+    from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
+        conv_nmax_bwd_pallas,
+        conv_nmax_pallas,
+    )
+
+    rng = np.random.default_rng(8)
+    C1, C2 = 192, 256
+    h = jax.device_put(
+        rng.standard_normal((B, N, C1)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    w = jax.device_put(
+        (rng.standard_normal((C1, C2)) * 0.1).astype(np.float32))
+    bias = jax.device_put(
+        (rng.standard_normal((C2,)) * 0.1).astype(np.float32))
+    ymax, amax, ymin, amin, mom = conv_nmax_pallas(
+        h, w.astype(jnp.bfloat16), bias)
+    y = jnp.einsum("bni,io->bno", h, w.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32) + bias
+    y = y.astype(jnp.bfloat16).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(ymax),
+                               np.asarray(jnp.max(y, axis=1)), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ymin),
+                               np.asarray(jnp.min(y, axis=1)), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(amax),
+                                  np.asarray(jnp.argmax(y, axis=1)))
+    np.testing.assert_allclose(
+        np.asarray(mom),
+        np.asarray(jnp.stack([jnp.sum(y, axis=(0, 1)),
+                              jnp.sum(jnp.square(y), axis=(0, 1))])),
+        rtol=5e-3, atol=1.0)
+
+    q = jax.device_put(rng.standard_normal((B, C2)).astype(np.float32))
+    al = jax.device_put((rng.standard_normal((C2,)) * .1).astype(np.float32))
+    be = jax.device_put((rng.standard_normal((C2,)) * .1).astype(np.float32))
+    dh, dw, db = conv_nmax_bwd_pallas(
+        h, q, amax, w.astype(jnp.bfloat16), bias, al, be)
+    onen = amax[:, None, :] == jnp.arange(N)[None, :, None]
+    dy = onen * q[:, None, :] + al + be * y
+    dyc = dy.astype(jnp.bfloat16)
+
+    def close(a, bb, tol):
+        a, bb = np.asarray(a, np.float32), np.asarray(bb, np.float32)
+        scale = max(np.abs(bb).max(), 1e-3)
+        np.testing.assert_allclose(a / scale, bb / scale, atol=tol)
+
+    close(dh, jnp.einsum("bno,io->bni", dyc, w.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32), 2e-2)
+    close(dw, jnp.einsum("bni,bno->io", h, dyc,
+                         preferred_element_type=jnp.float32), 2e-2)
+    close(db, jnp.sum(dy, axis=(0, 1)), 2e-2)

@@ -108,24 +108,32 @@ def apply_dgcnn_seg(
 ) -> Tuple[jax.Array, dict]:
     """Forward pass. Returns (logits [B, N, num_classes], new BN state)."""
     new_state = dict(state)
-    if (training and jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
-            and not cfg.use_fused_knn
-            and jax.default_backend() in ("tpu", "axon")):
+    compute_dtype = jnp.dtype(cfg.compute_dtype)
+    # ONE fused-path gate for the transform branch, the EdgeConv stages,
+    # and the aggregation conv — they must never split across fused and
+    # unfused paths
+    fused_tpu = (cfg.use_fused_knn and compute_dtype == jnp.bfloat16
+                 and jax.default_backend() in ("tpu", "axon"))
+    if (training and compute_dtype == jnp.bfloat16
+            and jax.default_backend() in ("tpu", "axon")
+            and (not cfg.use_fused_knn
+                 or any(len(w) not in (1, 2) for w in cfg.edge_channels))):
+        # >=3-conv stages would also route their tail convs through the
+        # straight composition even with the fused gate on
         import warnings
 
         warnings.warn(
-            "bfloat16 training with use_fused_knn=False on a TPU backend: "
-            "the straight conv+BN+k-max composition miscompiles here (its "
+            "bfloat16 training would use the straight conv+BN+k-max "
+            "composition on a TPU backend, which miscompiles here (its "
             "gradients are identically zero for every parameter upstream "
             "of a k-max — verified against the CPU lowering, see "
-            "docs/kernels.md). Use the fused path (use_fused_knn=True, "
-            "the default) or float32 compute.",
+            "docs/kernels.md). Use the fused path (use_fused_knn=True "
+            "with 1- or 2-conv EdgeConv stages) or float32 compute.",
             stacklevel=2)
     kw = dict(training=training, bn_decay=bn_decay, eps=cfg.bn_eps)
     head_kw = dict(kw)
     if head_bn_fixed_decay is not None:
         head_kw["bn_decay"] = head_bn_fixed_decay
-    compute_dtype = jnp.dtype(cfg.compute_dtype)
     B, N, _ = x.shape
 
     # --- Spatial transform branch (ShapeNet only) ---
@@ -137,8 +145,7 @@ def apply_dgcnn_seg(
         # pure added cost. The round-2.6 merged stage amortizes that
         # scatter against the whole conv2+BN+k-max chain, flipping the
         # trade — see apply_transform_net.)
-        if (cfg.use_fused_knn and compute_dtype == jnp.bfloat16
-                and jax.default_backend() in ("tpu", "axon")):
+        if fused_tpu:
             transform, new_state["transform_net"] = apply_transform_net(
                 params["transform_net"], state["transform_net"], None,
                 K=g.shape[-1], training=training, bn_decay=bn_decay,
@@ -180,8 +187,6 @@ def apply_dgcnn_seg(
         # gather + concat + conv (+ the d_ef-free backward of
         # layers.edge_conv_matmul).
         name = f"adj_conv{conv_i}"
-        fused_tpu = (cfg.use_fused_knn and compute_dtype == jnp.bfloat16
-                     and jax.default_backend() in ("tpu", "axon"))
         if fused_tpu and len(widths) == 2:
             # whole stage (kNN + both convs + BNs + relus + k-max) as one
             # custom-VJP block over two Pallas kernels: only the raw
@@ -223,8 +228,7 @@ def apply_dgcnn_seg(
 
     # --- Global feature ---
     concat = jnp.concatenate(stage_outputs, axis=-1)  # [B, N, sum(C)]
-    if (cfg.use_fused_knn and compute_dtype == jnp.bfloat16
-            and jax.default_backend() in ("tpu", "axon")):
+    if fused_tpu:
         # agg conv + BN + relu + max-over-N fused: the [B, N, 1024]
         # global-feature tensor never reaches HBM
         global_feat, new_state["agg_conv"] = layers.apply_conv_bn_relu_nmax(

@@ -184,14 +184,7 @@ def _ecf_forward(k, eps, fast, interpret, w, b, gamma, beta, f, g_src):
     """Primal math of the fused EdgeConv-conv1 + BN + ReLU block."""
     from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import _knn_edge_impl
 
-    c = f.shape[-1]
-    wc = w.astype(f.dtype)
-    w_top, w_bot = wc[:c], wc[c:]
-    u = jnp.einsum("...i,io->...o", f, w_top - w_bot,
-                   preferred_element_type=jnp.float32)
-    u = (u + b).astype(f.dtype)
-    v = jnp.einsum("...i,io->...o", f, w_bot,
-                   preferred_element_type=jnp.float32).astype(f.dtype)
+    u, v = _uv_factor(w, b, f)
     idx, y, mom = _knn_edge_impl(
         jax.lax.stop_gradient(g_src), jax.lax.stop_gradient(v),
         jax.lax.stop_gradient(u), k, 256, interpret, fast)
@@ -266,21 +259,7 @@ def _ecf_bwd(k, eps, fast, interpret, res, cts):
         dv = jnp.zeros((b_, n_, dy.shape[-1]), jnp.float32
                        ).at[bidx, idx].add(dy.astype(jnp.float32))
 
-    c = f.shape[-1]
-    wc = w.astype(f.dtype)
-    w_top, w_bot = wc[:c], wc[c:]
-    du_c = du.astype(f.dtype)
-    dv_c = dv.astype(f.dtype)
-    df = (jnp.einsum("bno,io->bni", du_c, w_top - w_bot,
-                     preferred_element_type=jnp.float32)
-          + jnp.einsum("bno,io->bni", dv_c, w_bot,
-                       preferred_element_type=jnp.float32)).astype(f.dtype)
-    dw_a = jnp.einsum("bnc,bno->co", f, du_c,
-                      preferred_element_type=jnp.float32)  # d(W_top - W_bot)
-    dw_b = jnp.einsum("bnc,bno->co", f, dv_c,
-                      preferred_element_type=jnp.float32)  # d(W_bot direct)
-    dw = jnp.concatenate([dw_a, dw_b - dw_a], axis=0)
-    db = jnp.sum(du, axis=(0, 1))
+    df, dw, db = _uv_grads(w, f, du, dv)
     return (dw.astype(w.dtype), db.astype(w.dtype), a2, a1, df, g_zeros)
 
 
@@ -323,14 +302,7 @@ def apply_edge_conv_knn_fused(
 
     from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import knn_edge_gather
 
-    c = f.shape[-1]
-    w = params["w"].astype(f.dtype)
-    w_top, w_bot = w[:c], w[c:]
-    u = jnp.einsum("...i,io->...o", f, w_top - w_bot,
-                   preferred_element_type=jnp.float32)
-    u = (u + params["b"]).astype(f.dtype)
-    v = jnp.einsum("...i,io->...o", f, w_bot,
-                   preferred_element_type=jnp.float32).astype(f.dtype)
+    u, v = _uv_factor(params["w"], params["b"], f)
     _, y, _ = knn_edge_gather(g_src, v, u, k, 256, interpret, fast)
     mean, var = state["mean"], state["var"]
     inv = jax.lax.rsqrt(var + eps) * params["gamma"]
@@ -388,6 +360,31 @@ def _minmax_select(ymax, amax, ymin, amin, s):
     ysel = jnp.where(pos, ymax, ymin)
     asel = jnp.where(pos, amax, amin)
     return ysel, asel
+
+
+def _bn_bwd_from_extrema(dout, ysel, mean, inv, gamma, beta, r):
+    """Shared BN backward evaluated on the max-selected extrema.
+
+    With dz supported on the selected positions only, the BN backward
+    dy = s*(dz - a1/r - xhat*(a2/r)) splits into the routed part
+    q = s*dz_sel and per-channel affine constants: dy = q·1[selected]
+    + A + Bv*y. Returns (q, A, Bv, a1, a2, db) with a1 = dbeta,
+    a2 = dgamma, and db = Σdy (the conv-bias cotangent, which BN shift
+    invariance makes ~0).
+    """
+    s = inv * gamma
+    ysel32 = ysel.astype(jnp.float32)
+    z = ysel32 * s + (beta - mean * s)
+    dz = dout * (z > 0)
+    xhat = (ysel32 - mean) * inv
+    axes = tuple(range(dz.ndim - 1))
+    a1 = jnp.sum(dz, axis=axes)
+    a2 = jnp.sum(dz * xhat, axis=axes)
+    q = s * dz
+    A = (-s * a1 + s * inv * a2 * mean) / r
+    Bv = -s * inv * a2 / r
+    db = jnp.sum(q, axis=axes) + r * A + Bv * (r * mean)
+    return q, A, Bv, a1, a2, db
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -461,19 +458,8 @@ def _cbk_bwd(eps, interpret, res, cts):
     dout = cts[0].astype(jnp.float32)  # mean/var feed only the state update
     b_, n_, k_, _ = h.shape
     r = b_ * n_ * k_
-
-    s = inv * gamma
-    ysel32 = ysel.astype(jnp.float32)
-    z = ysel32 * s + (beta - mean * s)
-    dz_sel = dout * (z > 0)
-    xhat_sel = (ysel32 - mean) * inv
-    a1 = jnp.sum(dz_sel, axis=(0, 1))
-    a2 = jnp.sum(dz_sel * xhat_sel, axis=(0, 1))
-
-    q = s * dz_sel                                   # [B, N, C2] f32
-    A = (-s * a1 + s * inv * a2 * mean) / r          # [C2]
-    Bv = -s * inv * a2 / r                           # [C2]
-    db = jnp.sum(q, axis=(0, 1)) + r * A + Bv * (r * mean)
+    q, A, Bv, a1, a2, db = _bn_bwd_from_extrema(
+        dout, ysel, mean, inv, gamma, beta, r)
 
     w32 = w.astype(jnp.float32)
     M = (w32 * Bv[None, :]) @ w32.T                              # [C1,C1]
@@ -511,7 +497,7 @@ def _cbk_bwd(eps, interpret, res, cts):
 _conv_bn_kmax_train.defvjp(_cbk_fwd, _cbk_bwd)
 
 
-def _stage_consts(w, b, gamma, beta, mom, r, eps):
+def _stage_consts(gamma, beta, mom, r, eps):
     """BN affine + selection constants from the in-kernel moments."""
     mean = mom[0] / r
     var = jnp.maximum(mom[1] / r - jnp.square(mean), 0.0)
@@ -563,13 +549,11 @@ def _stage_fwd_math(k, eps, fast, interpret, w1, b1, gamma1, beta1, w2, b2,
         jax.lax.stop_gradient(g_src), jax.lax.stop_gradient(v),
         jax.lax.stop_gradient(u), k, 256, interpret, fast)
     r = y1.shape[0] * y1.shape[1] * y1.shape[2]
-    mean1, var1, s1, t1, inv1 = _stage_consts(
-        w1, b1, gamma1, beta1, mom1, r, eps)
+    mean1, var1, s1, t1, inv1 = _stage_consts(gamma1, beta1, mom1, r, eps)
     ymax, amax, ymin, amin, mom2 = conv_minmax_pallas(
         y1, jax.lax.stop_gradient(w2).astype(f.dtype),
         jax.lax.stop_gradient(b2), s1, t1, interpret=interpret)
-    mean2, var2, s2, t2, inv2 = _stage_consts(
-        w2, b2, gamma2, beta2, mom2, r, eps)
+    mean2, var2, s2, t2, inv2 = _stage_consts(gamma2, beta2, mom2, r, eps)
     ysel, asel = _minmax_select(ymax, amax, ymin, amin, s2)
     z = ysel.astype(jnp.float32) * s2 + t2
     out = jax.nn.relu(z).astype(f.dtype)
@@ -600,17 +584,8 @@ def _stage_bwd(k, eps, fast, interpret, res, cts):
     r = b_ * n_ * k_
 
     # --- conv2 BN backward from [B, N, C2] smalls ---
-    s2 = inv2 * gamma2
-    ysel32 = ysel.astype(jnp.float32)
-    z = ysel32 * s2 + (beta2 - mean2 * s2)
-    dz_sel = dout * (z > 0)
-    xhat_sel = (ysel32 - mean2) * inv2
-    a1 = jnp.sum(dz_sel, axis=(0, 1))
-    a2 = jnp.sum(dz_sel * xhat_sel, axis=(0, 1))
-    q = s2 * dz_sel
-    A = (-s2 * a1 + s2 * inv2 * a2 * mean2) / r
-    Bv = -s2 * inv2 * a2 / r
-    db2 = jnp.sum(q, axis=(0, 1)) + r * A + Bv * (r * mean2)
+    q, A, Bv, a1, a2, db2 = _bn_bwd_from_extrema(
+        dout, ysel, mean2, inv2, gamma2, beta2, r)
 
     w232 = w2.astype(jnp.float32)
     M = (w232 * Bv[None, :]) @ w232.T
@@ -763,7 +738,7 @@ def _stage1_fwd_math(k, eps, fast, interpret, w1, b1, gamma1, beta1, f,
         jax.lax.stop_gradient(u), k, 256, interpret, fast,
         with_minmax=True)
     r = y1.shape[0] * y1.shape[1] * y1.shape[2]
-    mean, var, s, t, inv = _stage_consts(w1, b1, gamma1, beta1, mom, r, eps)
+    mean, var, s, t, inv = _stage_consts(gamma1, beta1, mom, r, eps)
     ysel, asel = _minmax_select(ymax, amax, ymin, amin, s)
     z = ysel.astype(jnp.float32) * s + t
     out = jax.nn.relu(z).astype(f.dtype)
@@ -773,27 +748,19 @@ def _stage1_fwd_math(k, eps, fast, interpret, w1, b1, gamma1, beta1, f,
 def _stage1_fwd(k, eps, fast, interpret, w1, b1, gamma1, beta1, f, g_src):
     outs, (idx, y1, ysel, asel, mean, inv) = _stage1_fwd_math(
         k, eps, fast, interpret, w1, b1, gamma1, beta1, f, g_src)
-    res = (idx, y1, ysel, asel, mean, inv, w1, gamma1, beta1, f,
+    res = (idx, y1, ysel, asel, mean, inv, w1, b1, gamma1, beta1, f,
            jnp.zeros_like(g_src))
     return outs, res
 
 
 def _stage1_bwd(k, eps, fast, interpret, res, cts):
-    idx, y1, ysel, asel, mean, inv, w1, gamma1, beta1, f, g_zeros = res
+    idx, y1, ysel, asel, mean, inv, w1, b1, gamma1, beta1, f, g_zeros = res
     dout = cts[0].astype(jnp.float32)
     b_, n_, k_, _ = y1.shape
     r = b_ * n_ * k_
 
-    s = inv * gamma1
-    ysel32 = ysel.astype(jnp.float32)
-    z = ysel32 * s + (beta1 - mean * s)
-    dz_sel = dout * (z > 0)
-    xhat_sel = (ysel32 - mean) * inv
-    a1 = jnp.sum(dz_sel, axis=(0, 1))
-    a2 = jnp.sum(dz_sel * xhat_sel, axis=(0, 1))
-    q = s * dz_sel
-    alpha = s * (-a1 / r + (a2 / r) * inv * mean)
-    beta_v = -s * (a2 / r) * inv
+    q, alpha, beta_v, a1, a2, _ = _bn_bwd_from_extrema(
+        dout, ysel, mean, inv, gamma1, beta1, r)
 
     if not interpret and jax.default_backend() in ("tpu", "axon"):
         from weaksuppointcloudseg_tpu.ops.scatter_pallas import (
@@ -801,7 +768,8 @@ def _stage1_bwd(k, eps, fast, interpret, res, cts):
         )
 
         dv, du = scatter_bn_bwd_pallas(
-            idx, y1, (q, asel), s, alpha, beta_v, n_)
+            idx, y1, (q, asel), jnp.zeros_like(alpha), alpha, beta_v, n_)
+        # sv (the dz scale) is unused in sparse mode: q already carries it
     else:
         onek = asel[:, :, None, :] == jax.lax.broadcasted_iota(
             jnp.int32, (1, 1, k_, 1), 2)
@@ -813,7 +781,7 @@ def _stage1_bwd(k, eps, fast, interpret, res, cts):
                        ).at[bidx, idx].add(dy1.astype(jnp.float32))
 
     df, dw1, db1 = _uv_grads(w1, f, du, dv)
-    return (dw1.astype(w1.dtype), db1.astype(jnp.float32), a2, a1, df,
+    return (dw1.astype(w1.dtype), db1.astype(b1.dtype), a2, a1, df,
             g_zeros)
 
 
@@ -936,15 +904,9 @@ def _cbn_bwd(eps, interpret, res, cts):
     dout = cts[0].astype(jnp.float32)
     r = h.shape[0] * h.shape[1]
 
-    s = inv * gamma
-    z = ysel * s + (beta - mean * s)
-    dz = dout * (z > 0)
-    xhat = (ysel - mean) * inv
-    a1 = jnp.sum(dz, axis=0)
-    a2 = jnp.sum(dz * xhat, axis=0)
-    q = s * dz                                   # [B, C2]
-    alpha = s * (-a1 / r + (a2 / r) * inv * mean)
-    betav = -s * (a2 / r) * inv
+    # db comes from the kernel (numeric Σdy), not the algebraic form
+    q, alpha, betav, a1, a2, _ = _bn_bwd_from_extrema(
+        dout, ysel, mean, inv, gamma, beta, r)
 
     if not interpret and jax.default_backend() in ("tpu", "axon"):
         from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
