@@ -190,3 +190,45 @@ class TestEdgeConvMatmul:
         for a, b_ in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=2e-5, atol=2e-5)
+
+
+def test_conv_bcast_matches_concat(rng):
+    """apply_conv_bcast == conv over concat([tile(global), points]):
+    values, BN state, and gradients (split-contraction reassociation
+    only; db ~ 0 by BN shift invariance, hence the atol)."""
+    import jax
+
+    from weaksuppointcloudseg_tpu.models import layers
+
+    B, N, Cg, Cp, C2 = 2, 40, 20, 12, 16
+    g = jnp.asarray(rng.standard_normal((B, Cg)), jnp.float32)
+    p = jnp.asarray(rng.standard_normal((B, N, Cp)), jnp.float32)
+    params = {
+        "w": jnp.asarray(rng.standard_normal((Cg + Cp, C2)) * 0.3,
+                         jnp.float32),
+        "b": jnp.asarray(rng.standard_normal((C2,)) * 0.1, jnp.float32),
+        "gamma": jnp.ones((C2,)),
+        "beta": jnp.zeros((C2,)),
+    }
+    st = {"mean": jnp.zeros((C2,)), "var": jnp.ones((C2,))}
+    kw = dict(training=True, bn_decay=0.9)
+    x = jnp.concatenate(
+        [jnp.broadcast_to(g[:, None], (B, N, Cg)), p], -1)
+    y1, s1 = layers.apply_conv_bcast(params, st, g, p, **kw)
+    y2, s2 = layers.apply_conv(params, st, x, **kw)
+    np.testing.assert_allclose(y1, y2, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(s1["mean"], s2["mean"], rtol=1e-5,
+                               atol=1e-7)
+    np.testing.assert_allclose(s1["var"], s2["var"], rtol=1e-5, atol=1e-7)
+
+    def f1(params):
+        return jnp.sum(layers.apply_conv_bcast(params, st, g, p, **kw)[0]
+                       ** 2)
+
+    def f2(params):
+        return jnp.sum(layers.apply_conv(params, st, x, **kw)[0] ** 2)
+
+    g1, g2 = jax.grad(f1)(params), jax.grad(f2)(params)
+    for name in g1:
+        np.testing.assert_allclose(g1[name], g2[name], rtol=1e-3,
+                                   atol=5e-5, err_msg=name)

@@ -247,15 +247,22 @@ def apply_dgcnn_seg(
         )
         global_feat = jnp.concatenate([global_feat, cat], axis=-1)
 
-    expand = jnp.broadcast_to(
-        global_feat[:, None, :], (B, N, global_feat.shape[-1])
-    )
-    h = jnp.concatenate([expand, concat], axis=-1)
-
     # --- Segmentation head ---
+    # First head conv: the global feature is constant over N, so its
+    # matmul runs once per sample and broadcasts — the [B, N, global]
+    # tile and the [B, N, global+sum(C)] concat never exist in HBM
+    # (layers.apply_conv_bcast; reference tf.tile+concat semantics,
+    # DGCNN_ShapeNet.py:87-100).
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    for h_i, w in enumerate(cfg.head_channels):
+    h, new_state["seg_conv1"] = layers.apply_conv_bcast(
+        params["seg_conv1"], state["seg_conv1"],
+        global_feat.astype(compute_dtype), concat, **head_kw)
+    keep = cfg.head_keep_prob[0]
+    if keep is not None:
+        rng, sub = jax.random.split(rng)
+        h = layers.dropout(h, sub, keep, training=training)
+    for h_i, w in enumerate(cfg.head_channels[1:], start=1):
         name = f"seg_conv{h_i + 1}"
         h, new_state[name] = layers.apply_conv(params[name], state[name], h, **head_kw)
         keep = cfg.head_keep_prob[h_i]

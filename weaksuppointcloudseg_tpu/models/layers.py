@@ -109,6 +109,44 @@ def apply_conv(
     return y, state
 
 
+def apply_conv_bcast(
+    params: Params,
+    state: State,
+    x_bcast: jax.Array,    # [B, Cg] per-sample features (global + category)
+    x_point: jax.Array,    # [B, N, Cp] per-point features
+    *,
+    training: bool,
+    bn_decay=None,
+    eps: float = BN_EPS,
+) -> Tuple[jax.Array, State]:
+    """conv over concat([broadcast_N(x_bcast), x_point]) WITHOUT the concat.
+
+    The reference's first seg-head conv consumes the global feature tiled
+    over every point (DGCNN_ShapeNet.py:87-100: tf.tile + concat). Since
+    the broadcast rows are constant over N, the matmul splits as
+
+        concat([tile(g), p]) @ W = broadcast_N(g @ W[:Cg]) + p @ W[Cg:]
+
+    so the [B, N, Cg] tile and the [B, N, Cg+Cp] concat never exist in
+    HBM — the g-part matmul runs once per sample and the broadcast-add
+    fuses into the BN/relu pass. Identical math up to the contraction
+    split's f32 reassociation.
+    """
+    w = params["w"]
+    cg = x_bcast.shape[-1]
+    wg = w[:cg].astype(x_bcast.dtype)
+    wp = w[cg:].astype(x_point.dtype)
+    yg = jnp.einsum("bi,io->bo", x_bcast, wg,
+                    preferred_element_type=jnp.float32)
+    yp = jnp.einsum("bni,io->bno", x_point, wp,
+                    preferred_element_type=jnp.float32)
+    y = yg[:, None, :] + yp + params["b"]
+    y = y.astype(x_point.dtype) if x_point.dtype != jnp.float32 else y
+    y, state = _batch_norm(y, params, state, training=training,
+                           decay=bn_decay, eps=eps)
+    return jax.nn.relu(y), state
+
+
 @jax.custom_vjp
 def edge_conv_matmul(f, nbr, w, b):
     """First EdgeConv conv: conv2d(concat([f_i, f_j - f_i])) + bias.
