@@ -1,6 +1,8 @@
 """Layer-level semantics: reference batch norm, conv init, dropout,
 transform net identity init, model parameter inventory."""
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -232,3 +234,79 @@ def test_conv_bcast_matches_concat(rng):
     for name in g1:
         np.testing.assert_allclose(g1[name], g2[name], rtol=1e-3,
                                    atol=5e-5, err_msg=name)
+
+
+class TestKnownBadBf16Guard:
+    """The straight bf16 conv+BN+k-max composition miscompiles to zero
+    gradients on the TPU backend (docs/kernels.md); configs that would
+    reach it must hard-error unless explicitly overridden."""
+
+    class _FakeTpuJax:
+        """Proxy of the jax module whose default_backend claims TPU.
+
+        Patched onto the *model modules only*, so op-library dispatch
+        (ops/neighbors.py etc.) still sees the real CPU backend and the
+        forward runs on the XLA path."""
+
+        @staticmethod
+        def default_backend():
+            return "tpu"
+
+        def __getattr__(self, name):
+            return getattr(jax, name)
+
+    def _fake_tpu_backend(self, monkeypatch):
+        import weaksuppointcloudseg_tpu.models.dgcnn as dgcnn_mod
+
+        monkeypatch.setattr(dgcnn_mod, "jax", self._FakeTpuJax())
+
+    def test_seg_raises_on_straight_bf16(self, monkeypatch, rng):
+        from weaksuppointcloudseg_tpu.models.dgcnn import (
+            apply_dgcnn_seg,
+            init_dgcnn_seg,
+        )
+
+        self._fake_tpu_backend(monkeypatch)
+        cfg = dataclasses.replace(
+            configs.shapenet_config().model,
+            num_points=32, compute_dtype="bfloat16", use_fused_knn=False,
+        )
+        params, state = init_dgcnn_seg(jax.random.PRNGKey(0), cfg)
+        x = jnp.asarray(rng.standard_normal((2, 32, 3)), jnp.float32)
+        cat = jnp.zeros((2, cfg.num_categories), jnp.float32)
+        with pytest.raises(ValueError, match="miscompiles"):
+            apply_dgcnn_seg(params, state, x, cat, cfg=cfg, training=True,
+                            bn_decay=0.9)
+
+    def test_seg_override_downgrades_to_warning(self, monkeypatch, rng):
+        from weaksuppointcloudseg_tpu.models.dgcnn import (
+            apply_dgcnn_seg,
+            init_dgcnn_seg,
+        )
+
+        self._fake_tpu_backend(monkeypatch)
+        cfg = dataclasses.replace(
+            configs.shapenet_config().model,
+            num_points=32, compute_dtype="bfloat16", use_fused_knn=False,
+            allow_known_bad_bf16=True,
+        )
+        params, state = init_dgcnn_seg(jax.random.PRNGKey(0), cfg)
+        x = jnp.asarray(rng.standard_normal((2, 32, 3)), jnp.float32)
+        cat = jnp.zeros((2, cfg.num_categories), jnp.float32)
+        # backend is actually CPU, so the forward itself runs fine; the
+        # guard must warn but not raise
+        with pytest.warns(UserWarning, match="miscompiles"):
+            logits, _ = apply_dgcnn_seg(params, state, x, cat, cfg=cfg,
+                                        training=True, bn_decay=0.9)
+        assert logits.shape == (2, 32, cfg.num_classes)
+
+    def test_cls_raises_on_bf16(self, monkeypatch, rng):
+        import weaksuppointcloudseg_tpu.models.dgcnn_cls as cls_mod
+
+        monkeypatch.setattr(cls_mod, "jax", self._FakeTpuJax())
+        cfg = cls_mod.ClsConfig()
+        params, state = cls_mod.init_dgcnn_cls(jax.random.PRNGKey(0), cfg)
+        x = jnp.asarray(rng.standard_normal((2, 32, 3)), jnp.bfloat16)
+        with pytest.raises(ValueError, match="miscompiles"):
+            cls_mod.apply_dgcnn_cls(params, state, x, cfg=cfg, training=True,
+                                    bn_decay=0.9)

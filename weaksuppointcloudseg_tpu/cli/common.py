@@ -32,6 +32,15 @@ def base_parser(dataset: str, *, train: bool) -> argparse.ArgumentParser:
     p.add_argument("--num_devices", type=int, default=0,
                    help="data-parallel mesh size (0 = single device)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace into DIR "
+                        "(training: one post-compile epoch; view with "
+                        "TensorBoard/xprof, or parse with "
+                        "scripts/bench_attribution.py)")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="run with jax_debug_nans: error out at the first "
+                        "NaN-producing op (debug runs only — disables some "
+                        "fusions and forces extra device syncs)")
     if train:
         p.add_argument("--batchsize", "-bs", type=int,
                        default=6 if dataset == "ShapeNet" else 3)
@@ -65,6 +74,35 @@ def base_parser(dataset: str, *, train: bool) -> argparse.ArgumentParser:
                             "matrix-free CG (no NxN ever built), or "
                             "point-axis-sharded CG over the device mesh")
     return p
+
+
+def debug_context(args):
+    """NaN-checking context for a whole CLI run (--debug_nans)."""
+    import contextlib
+
+    if getattr(args, "debug_nans", False):
+        from weaksuppointcloudseg_tpu.utils.profiling import nan_debug
+
+        return nan_debug(True)
+    return contextlib.nullcontext()
+
+
+def profile_epoch_context(args, epoch: int, start_epoch: int, last_epoch: int):
+    """Trace context for one training epoch (--profile DIR).
+
+    Traces the epoch after the first trained one, so compilation is
+    excluded (falls back to the first if the run is a single epoch).
+    """
+    import contextlib
+
+    if not getattr(args, "profile", None):
+        return contextlib.nullcontext()
+    target = start_epoch + 1 if start_epoch + 1 <= last_epoch else start_epoch
+    if epoch != target:
+        return contextlib.nullcontext()
+    from weaksuppointcloudseg_tpu.utils.profiling import trace
+
+    return trace(args.profile)
 
 
 def build_config(args, dataset: str) -> configs.ExperimentConfig:

@@ -70,28 +70,32 @@ def main(argv=None) -> None:
         * cfg.train.batch_size * n_points)
 
     best_miou = -1.0
-    for epoch in range(trainer.epoch, args.Epoch):
-        timer.start()
-        m = trainer.train_epoch(epoch)
-        epoch_s = timer.stop(points=epoch_points)
-        summary.log(
-            f"Epoch {epoch} Train loss {m['total']:.4f} acc {100 * m['acc']:.2f}% "
-            f"lr {m['lr']:.2e} ({epoch_points / epoch_s:,.0f} pts/s)\n"
-        )
-        metrics_log.log("train_epoch", epoch=epoch,
-                        points_per_sec=epoch_points / epoch_s, **m)
-        if epoch % 5 == 0:
-            loss, acc, miou, per_class = trainer.evaluate()
+    start_epoch = trainer.epoch
+    with common.debug_context(args):
+        for epoch in range(start_epoch, args.Epoch):
+            timer.start()
+            with common.profile_epoch_context(args, epoch, start_epoch,
+                                              args.Epoch - 1):
+                m = trainer.train_epoch(epoch)
+            epoch_s = timer.stop(points=epoch_points)
             summary.log(
-                f"Epoch {epoch} Eval loss {loss:.4f} acc {100 * acc:.2f}% "
-                f"mIoU {100 * miou:.2f}%\n"
+                f"Epoch {epoch} Train loss {m['total']:.4f} acc {100 * m['acc']:.2f}% "
+                f"lr {m['lr']:.2e} ({epoch_points / epoch_s:,.0f} pts/s)\n"
             )
-            metrics_log.log("eval", epoch=epoch, loss=loss, acc=acc, miou=miou)
-            if args.ExpRslt:
-                trainer.save_checkpoint(metric=miou)
-            if miou > best_miou:
-                best_miou = miou
-                summary.log(f"Epoch {epoch} new best mIoU {100 * miou:.2f}%\n")
+            metrics_log.log("train_epoch", epoch=epoch,
+                            points_per_sec=epoch_points / epoch_s, **m)
+            if epoch % 5 == 0:
+                loss, acc, miou, per_class = trainer.evaluate()
+                summary.log(
+                    f"Epoch {epoch} Eval loss {loss:.4f} acc {100 * acc:.2f}% "
+                    f"mIoU {100 * miou:.2f}%\n"
+                )
+                metrics_log.log("eval", epoch=epoch, loss=loss, acc=acc, miou=miou)
+                if args.ExpRslt:
+                    trainer.save_checkpoint(metric=miou)
+                if miou > best_miou:
+                    best_miou = miou
+                    summary.log(f"Epoch {epoch} new best mIoU {100 * miou:.2f}%\n")
 
 
 if __name__ == "__main__":

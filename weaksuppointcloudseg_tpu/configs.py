@@ -73,6 +73,12 @@ class ModelConfig:
     # packed-min top-k selection: ~10% faster step, but near-tie neighbors
     # may reorder vs lax.top_k (98.7-99.7% index agreement) — opt-in
     knn_fast: bool = False
+    # The straight (non-fused) conv+BN+k-max composition miscompiles to
+    # identically-zero upstream gradients for bf16 training on this TPU
+    # backend (docs/kernels.md "bf16 conv+BN+reduce-max(axis=2)"); such a
+    # config raises by default. Set True to run it anyway (e.g. to study
+    # the miscompile, or on a backend known to be fixed).
+    allow_known_bad_bf16: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

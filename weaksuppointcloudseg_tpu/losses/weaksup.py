@@ -98,8 +98,11 @@ def smooth_knn_laplacian(
 
     so the [B, N, k, K] neighbor-prob tensor of the direct formulation
     never exists — forward OR backward (the VJP scatters the k-fold
-    smaller [B, N, K] cotangent, weighted by w). Same math as the direct
-    path on the same bf16-rounded P_j up to f32 reassociation. Used by
+    smaller [B, N, K] cotangent, weighted by w). Matches the direct path
+    up to bf16 rounding of |P_j|^2 (s2 gathers bf16(|P_j|^2 computed in
+    f32), the direct form squares the bf16-rounded P_j) plus f32
+    reassociation; per-point values are clamped at 0 so the rounding
+    cannot drive the loss negative. Used by
     the bf16 compute-dtype fast configs — measured 13.8 -> 6.0 ms
     fwd+bwd (incl. softmax) at B=64, N=2048, k=10, 50 classes vs the
     round-2 gather-then-diff fused kernel.
@@ -126,6 +129,7 @@ def smooth_knn_laplacian(
         s2 = s[..., n_cls]
         s0 = jnp.sum(w, axis=-1)  # [B, N] sum of weights (grad-free)
         per_point = s0 * q - 2.0 * jnp.sum(prob * s1, axis=-1) + s2
+        per_point = jnp.maximum(per_point, 0.0)
         return jnp.mean(per_point) / (k * n_cls)
     if on_tpu:
         from weaksuppointcloudseg_tpu.ops.knn_pallas import knn_pallas

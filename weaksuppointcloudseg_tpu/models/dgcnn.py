@@ -120,16 +120,22 @@ def apply_dgcnn_seg(
                  or any(len(w) not in (1, 2) for w in cfg.edge_channels))):
         # >=3-conv stages would also route their tail convs through the
         # straight composition even with the fused gate on
-        import warnings
-
-        warnings.warn(
+        msg = (
             "bfloat16 training would use the straight conv+BN+k-max "
             "composition on a TPU backend, which miscompiles here (its "
             "gradients are identically zero for every parameter upstream "
             "of a k-max — verified against the CPU lowering, see "
             "docs/kernels.md). Use the fused path (use_fused_knn=True "
-            "with 1- or 2-conv EdgeConv stages) or float32 compute.",
-            stacklevel=2)
+            "with 1- or 2-conv EdgeConv stages) or float32 compute.")
+        if not cfg.allow_known_bad_bf16:
+            # silent-zero-gradient training must not be reachable by
+            # accident: hard error unless explicitly overridden
+            raise ValueError(
+                msg + " (Set ModelConfig.allow_known_bad_bf16=True to run "
+                "this configuration anyway.)")
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     kw = dict(training=training, bn_decay=bn_decay, eps=cfg.bn_eps)
     head_kw = dict(kw)
     if head_bn_fixed_decay is not None:

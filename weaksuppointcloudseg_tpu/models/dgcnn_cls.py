@@ -35,6 +35,10 @@ class ClsConfig:
     label_smoothing: float = 0.2
     bn_eps: float = 1e-3
     use_fused_knn: bool = True
+    # see ModelConfig.allow_known_bad_bf16: the classifier has no fused
+    # alternative, so bf16 training on a TPU backend always hits the
+    # straight conv+BN+k-max zero-gradient miscompile (docs/kernels.md)
+    allow_known_bad_bf16: bool = False
 
 
 def init_dgcnn_cls(key, cfg: ClsConfig = ClsConfig()) -> Tuple[dict, dict]:
@@ -74,13 +78,17 @@ def apply_dgcnn_cls(
     new_state = dict(state)
     if (training and x.dtype == jnp.bfloat16
             and jax.default_backend() in ("tpu", "axon")):
-        import warnings
-
-        warnings.warn(
+        msg = (
             "bfloat16 training of the classifier on a TPU backend uses the "
             "straight conv+BN+k-max composition, which miscompiles to zero "
-            "gradients here (docs/kernels.md) — train in float32 on device.",
-            stacklevel=2)
+            "gradients here (docs/kernels.md) — train in float32 on device.")
+        if not cfg.allow_known_bad_bf16:
+            raise ValueError(
+                msg + " (Set ClsConfig.allow_known_bad_bf16=True to run "
+                "this configuration anyway.)")
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     kw = dict(training=training, bn_decay=bn_decay, eps=cfg.bn_eps)
 
     ef = knn_ops.edge_feature_auto(x, x, cfg.k, use_fused=cfg.use_fused_knn)

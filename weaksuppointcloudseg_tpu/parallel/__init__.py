@@ -1,5 +1,6 @@
 from weaksuppointcloudseg_tpu.parallel.mesh import (
     make_mesh,
+    cached_mesh,
     shard_batch,
     replicate,
     batch_sharding,
@@ -8,6 +9,7 @@ from weaksuppointcloudseg_tpu.parallel.mesh import (
 
 __all__ = [
     "make_mesh",
+    "cached_mesh",
     "shard_batch",
     "replicate",
     "batch_sharding",

@@ -18,6 +18,7 @@ per-device batch is even — asserted in ``shard_batch``.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional, Sequence
 
 import jax
@@ -34,6 +35,18 @@ def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = Non
             raise ValueError(f"need {n_devices} devices, have {len(devices)}")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+@functools.lru_cache(maxsize=None)
+def cached_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """``make_mesh`` over the process's local devices, built once per size.
+
+    For hot per-call paths (e.g. the sharded label-propagation solver looping
+    over S3DIS rooms) where rebuilding the Mesh every invocation is pure
+    overhead. The local device list is fixed for the life of the process, so
+    caching on ``n_devices`` alone is sound.
+    """
+    return make_mesh(n_devices)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

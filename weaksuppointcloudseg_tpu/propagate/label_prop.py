@@ -196,17 +196,19 @@ def propagate_batch(
     if solver == "sharded":
         import jax as _jax
 
-        from weaksuppointcloudseg_tpu.parallel import make_mesh
+        from weaksuppointcloudseg_tpu.parallel.mesh import cached_mesh
         from weaksuppointcloudseg_tpu.propagate.sharded import (
             label_propagation_sharded,
         )
 
         # the point axis is split over the mesh: use the largest device
         # count that divides N (a 3000-point cloud on a 16-device host
-        # gets an 8-device mesh, not a crash)
+        # gets an 8-device mesh, not a crash). The mesh is cached per
+        # device count — the per-room S3DIS loop calls this once per block
+        # batch and must not rebuild the Mesh each time.
         n = xyz.shape[-2]
         d = _largest_divisor_at_most(n, len(_jax.devices()))
-        mesh = make_mesh(d)
+        mesh = cached_mesh(d)
         return label_propagation_sharded(
             mesh, xyz, g, rgb, alpha=alpha, beta=beta,
             xyz_bandwidth=xyz_bandwidth, rgb_bandwidth=rgb_bandwidth,
