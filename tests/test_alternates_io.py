@@ -118,3 +118,91 @@ class TestRandomBaseline:
         pred = nearest_label_propagate(pts, labelled, seg)
         # labelled points keep their own label (distance 0)
         np.testing.assert_array_equal(pred[labelled], seg[labelled])
+
+
+class TestGeneralPLY:
+    """read_ply_full: the plyfile.py ingestion surface (arbitrary layouts,
+    big-endian, list properties — reference Networks/dgcnn/utils/plyfile.py)."""
+
+    def _mesh_arrays(self, rng):
+        pts = rng.standard_normal((6, 3)).astype(np.float32)
+        conf = rng.standard_normal(6).astype(np.float64)
+        nverts = rng.integers(0, 256, 6).astype(np.int16)
+        faces = [np.array([0, 1, 2], np.int32), np.array([1, 2, 3, 4], np.int32)]
+        return pts, conf, nverts, faces
+
+    def _write(self, path, fmt, pts, conf, nverts, faces):
+        import struct as _struct
+
+        header = (
+            "ply\nformat {} 1.0\ncomment made by a test\n"
+            "element vertex 6\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "property double confidence\nproperty short nv\n"
+            "element face 2\n"
+            "property list uchar int32 vertex_indices\n"
+            "end_header\n".format(fmt))
+        if fmt == "ascii":
+            with open(path, "w") as f:
+                f.write(header)
+                for i in range(6):
+                    f.write("%r %r %r %r %d\n" % (
+                        float(pts[i, 0]), float(pts[i, 1]), float(pts[i, 2]),
+                        float(conf[i]), int(nverts[i])))
+                for fc in faces:
+                    f.write(str(len(fc)) + " " + " ".join(map(str, fc)) + "\n")
+        else:
+            bo = "<" if "little" in fmt else ">"
+            with open(path, "wb") as f:
+                f.write(header.encode())
+                for i in range(6):
+                    f.write(_struct.pack(bo + "fffdh", *pts[i], conf[i],
+                                         nverts[i]))
+                for fc in faces:
+                    f.write(_struct.pack(bo + "B", len(fc)))
+                    f.write(_struct.pack(bo + "i" * len(fc), *fc))
+
+    @pytest.mark.parametrize(
+        "fmt", ["ascii", "binary_little_endian", "binary_big_endian"])
+    def test_mixed_layout_all_formats(self, tmp_path, rng, fmt):
+        pts, conf, nverts, faces = self._mesh_arrays(rng)
+        path = str(tmp_path / f"m_{fmt}.ply")
+        self._write(path, fmt, pts, conf, nverts, faces)
+        elems = pio.read_ply_full(path)
+        assert set(elems) == {"vertex", "face"}
+        v = elems["vertex"]
+        np.testing.assert_allclose(
+            np.stack([v["x"], v["y"], v["z"]], 1), pts, rtol=1e-6)
+        np.testing.assert_allclose(v["confidence"], conf)
+        assert v["confidence"].dtype == np.float64
+        np.testing.assert_array_equal(v["nv"], nverts)
+        assert v["nv"].dtype == np.int16
+        got_faces = elems["face"]["vertex_indices"]
+        assert len(got_faces) == 2
+        for got, want in zip(got_faces, faces):
+            np.testing.assert_array_equal(got, want)
+        # the simple API still reads the vertex cloud of a mesh file
+        pts2, rgb = pio.read_ply(path)
+        np.testing.assert_allclose(pts2, pts, rtol=1e-6)
+        assert rgb is None
+
+    def test_uint8_spelling_and_extra_props(self, tmp_path):
+        path = str(tmp_path / "spell.ply")
+        with open(path, "w") as f:
+            f.write(
+                "ply\nformat ascii 1.0\nelement vertex 2\n"
+                "property float32 x\nproperty float32 y\nproperty float32 z\n"
+                "property uint8 red\nproperty uint8 green\nproperty uint8 blue\n"
+                "property uint8 alpha\n"
+                "end_header\n"
+                "0 0 0 10 20 30 255\n1 2 3 40 50 60 128\n")
+        pts, rgb = pio.read_ply(path)
+        np.testing.assert_allclose(pts, [[0, 0, 0], [1, 2, 3]])
+        np.testing.assert_array_equal(rgb, [[10, 20, 30], [40, 50, 60]])
+        assert pio.read_ply_full(path)["vertex"]["alpha"].dtype == np.uint8
+
+    def test_rejects_non_ply(self, tmp_path):
+        path = str(tmp_path / "not.ply")
+        open(path, "w").write("obj\nnope\n")
+        with pytest.raises(ValueError, match="magic"):
+            pio.read_ply_full(path)

@@ -1,16 +1,19 @@
 """Point-cloud IO & visualization helpers.
 
 Equivalents of the reference's vendored utilities (SURVEY.md §2.2):
-``plyfile.py`` (916 LoC generic PLY library — here a focused ascii/binary
-PLY reader/writer for xyz[+rgb] clouds), ``pc_util.py`` (point cloud ->
-image rendering, ply/obj export), and ``indoor3d_util.point_label_to_obj``
-(colored room OBJ export).
+``plyfile.py`` (Networks/dgcnn/utils/plyfile.py — here :func:`read_ply_full`
+covers the same ingestion breadth with a numpy-native parser: arbitrary
+element/property layouts, all PLY scalar types, big- and little-endian
+binary, and list properties; writing supports the xyz[+rgb] vertex layout
+the pipeline produces), ``pc_util.py`` (point cloud -> image rendering,
+ply/obj export), and ``indoor3d_util.point_label_to_obj`` (colored room OBJ
+export).
 """
 
 from __future__ import annotations
 
 import struct
-from typing import Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -49,33 +52,158 @@ def write_ply(path: str, points: np.ndarray,
                 f.write(row + "\n")
 
 
+# PLY scalar type names (both spellings) -> numpy dtype codes (no byte order)
+_PLY_TYPES = {
+    "char": "i1", "int8": "i1",
+    "uchar": "u1", "uint8": "u1",
+    "short": "i2", "int16": "i2",
+    "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4",
+    "uint": "u4", "uint32": "u4",
+    "float": "f4", "float32": "f4",
+    "double": "f8", "float64": "f8",
+}
+
+
+def _parse_ply_header(f):
+    """-> (fmt, elements) with elements = [(name, count, props)] and each
+    prop either ("scalar", name, dtype_code) or
+    ("list", name, count_code, item_code)."""
+    magic = f.readline().strip()
+    if magic not in (b"ply", b"ply\r"):
+        raise ValueError("not a PLY file (missing 'ply' magic)")
+    fmt = None
+    elements: List[tuple] = []
+    while True:
+        line = f.readline()
+        if not line:
+            raise ValueError("unterminated PLY header")
+        tokens = line.decode("ascii", "replace").split()
+        if not tokens or tokens[0] == "comment" or tokens[0] == "obj_info":
+            continue
+        if tokens[0] == "format":
+            fmt = tokens[1]
+            if fmt not in ("ascii", "binary_little_endian",
+                           "binary_big_endian"):
+                raise ValueError(f"unknown PLY format {fmt!r}")
+        elif tokens[0] == "element":
+            elements.append((tokens[1], int(tokens[2]), []))
+        elif tokens[0] == "property":
+            if not elements:
+                raise ValueError("property before any element")
+            props = elements[-1][2]
+            if tokens[1] == "list":
+                props.append(("list", tokens[4], _PLY_TYPES[tokens[2]],
+                              _PLY_TYPES[tokens[3]]))
+            else:
+                props.append(("scalar", tokens[2], _PLY_TYPES[tokens[1]]))
+        elif tokens[0] == "end_header":
+            break
+    if fmt is None:
+        raise ValueError("PLY header has no format line")
+    return fmt, elements
+
+
+def read_ply_full(path: str) -> Dict[str, Dict[str, np.ndarray]]:
+    """General PLY reader: the rebuild of the reference's vendored
+    ``plyfile.py`` ingestion surface (Networks/dgcnn/utils/plyfile.py).
+
+    Supports ascii / binary_little_endian / binary_big_endian formats, all
+    PLY scalar types (both ``uchar``/``uint8`` spellings), arbitrary
+    element/property layouts, and list properties (e.g. face
+    ``vertex_indices``).
+
+    Returns ``{element_name: {property_name: array}}``; scalar properties
+    are 1-D arrays of their native dtype, list properties are 1-D object
+    arrays of per-row arrays (a common fixed length is NOT assumed).
+    """
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    with open(path, "rb") as f:
+        fmt, elements = _parse_ply_header(f)
+        bo = {"ascii": "=", "binary_little_endian": "<",
+              "binary_big_endian": ">"}[fmt]
+        for name, count, props in elements:
+            cols: Dict[str, np.ndarray] = {}
+            if fmt == "ascii":
+                rows = [f.readline().split() for _ in range(count)]
+                scalars = {p[1]: [] for p in props}
+                lists = {p[1]: [] for p in props if p[0] == "list"}
+                for row in rows:
+                    pos = 0
+                    for p in props:
+                        if p[0] == "scalar":
+                            scalars[p[1]].append(row[pos])
+                            pos += 1
+                        else:
+                            ln = int(row[pos])
+                            lists[p[1]].append(
+                                np.asarray(row[pos + 1:pos + 1 + ln],
+                                           dtype=np.dtype(p[3])))
+                            pos += 1 + ln
+                for p in props:
+                    if p[0] == "scalar":
+                        cols[p[1]] = np.asarray(scalars[p[1]],
+                                                dtype=np.dtype(p[2]))
+                    else:
+                        arr = np.empty(count, object)
+                        arr[:] = lists[p[1]]
+                        cols[p[1]] = arr
+            elif not any(p[0] == "list" for p in props):
+                # fixed-record binary element: one vectorized fromfile
+                dt = np.dtype([(p[1], bo + p[2]) for p in props])
+                rec = np.frombuffer(f.read(dt.itemsize * count), dtype=dt,
+                                    count=count)
+                for p in props:
+                    # native byte order on the way out (big-endian files
+                    # must not leak '>f8'-style dtypes to callers)
+                    cols[p[1]] = np.ascontiguousarray(rec[p[1]]).astype(
+                        np.dtype(p[2]))
+            else:
+                # binary with list properties: per-row parse (variable
+                # record length makes vectorization impossible in general)
+                data: Dict[str, list] = {p[1]: [] for p in props}
+                for _ in range(count):
+                    for p in props:
+                        if p[0] == "scalar":
+                            dt = np.dtype(bo + p[2])
+                            (v,) = np.frombuffer(f.read(dt.itemsize), dt)
+                            data[p[1]].append(v)
+                        else:
+                            cdt = np.dtype(bo + p[2])
+                            (ln,) = np.frombuffer(f.read(cdt.itemsize), cdt)
+                            idt = np.dtype(bo + p[3])
+                            data[p[1]].append(np.frombuffer(
+                                f.read(idt.itemsize * int(ln)), idt,
+                                count=int(ln)).astype(np.dtype(p[3])))
+                for p in props:
+                    if p[0] == "scalar":
+                        cols[p[1]] = np.asarray(data[p[1]],
+                                                dtype=np.dtype(p[2]))
+                    else:
+                        arr = np.empty(count, object)
+                        arr[:] = data[p[1]]
+                        cols[p[1]] = arr
+            out[name] = cols
+    return out
+
+
 def read_ply(path: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-    """Read an xyz[+rgb] PLY written by :func:`write_ply` (ascii or binary).
+    """Read the vertex cloud of any PLY file (ascii / binary, either
+    endianness, any extra properties or elements — parsed via
+    :func:`read_ply_full`).
 
     Returns (points [N,3] f32, colors [N,3] uint8 or None).
     """
-    with open(path, "rb") as f:
-        header_lines = []
-        while True:
-            line = f.readline().decode().strip()
-            header_lines.append(line)
-            if line == "end_header":
-                break
-        fmt = next(l for l in header_lines if l.startswith("format")).split()[1]
-        n = int(next(l for l in header_lines if l.startswith("element vertex")).split()[-1])
-        has_rgb = any("red" in l for l in header_lines)
-        if fmt == "ascii":
-            rows = [f.readline().decode().split() for _ in range(n)]
-            arr = np.asarray(rows, np.float64)
-        else:
-            rec = "<fff" + ("BBB" if has_rgb else "")
-            size = struct.calcsize(rec)
-            arr = np.asarray(
-                [struct.unpack(rec, f.read(size)) for _ in range(n)],
-                np.float64,
-            )
-    pts = arr[:, 0:3].astype(np.float32)
-    colors = arr[:, 3:6].astype(np.uint8) if has_rgb else None
+    elems = read_ply_full(path)
+    if "vertex" not in elems:
+        raise ValueError(f"PLY file has no 'vertex' element: {path}")
+    v = elems["vertex"]
+    pts = np.stack([np.asarray(v[a], np.float32) for a in "xyz"], axis=1)
+    colors = None
+    if all(c in v for c in ("red", "green", "blue")):
+        colors = np.stack(
+            [np.asarray(v[c]).astype(np.uint8)
+             for c in ("red", "green", "blue")], axis=1)
     return pts, colors
 
 
