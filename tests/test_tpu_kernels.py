@@ -614,3 +614,107 @@ def test_conv_nmax_on_device(data):
     close(dw, jnp.einsum("bni,bno->io", h, dyc,
                          preferred_element_type=jnp.float32), 2e-2)
     close(db, jnp.sum(dy, axis=(0, 1)), 2e-2)
+
+
+def _learnable_shapenet(rng, n_samples, n_points, n_cat=4, parts_per=3):
+    """In-memory learnable synthetic part-seg set (z-split part labels
+    within per-category Gaussian clusters — same recipe as
+    data/shapenet.py::write_synthetic)."""
+    xs, segs, cats = [], [], []
+    centers = rng.standard_normal((n_cat, 3)) * 2.0
+    for i in range(n_samples):
+        c = int(rng.integers(0, n_cat))
+        pts = centers[c] + rng.standard_normal((n_points, 3)) * 0.5
+        z = pts[:, 2]
+        q = np.quantile(z, np.linspace(0, 1, parts_per + 1)[1:-1])
+        part = np.searchsorted(q, z)
+        xs.append(pts.astype(np.float32))
+        segs.append((c * parts_per + part).astype(np.int32))
+        cats.append(c)
+    return np.stack(xs), np.stack(segs), np.asarray(cats, np.int32)
+
+
+def _train_and_eval_miou(compute_dtype, knn_fast, *, seed=0, epochs=12):
+    """Seeded end-to-end training run -> final val per-shape mIoU."""
+    import dataclasses
+    from weaksuppointcloudseg_tpu import configs
+    from weaksuppointcloudseg_tpu.metrics.iou import eval_iou
+    from weaksuppointcloudseg_tpu.train.state import create_train_state
+    from weaksuppointcloudseg_tpu.train.steps import (
+        make_eval_step,
+        make_train_step,
+    )
+    from weaksuppointcloudseg_tpu.utils.tools import onehot_encode
+
+    n_cat, parts_per, n_points, bs = 4, 3, 1024, 8
+    n_cls = n_cat * parts_per
+    cfg = configs.shapenet_config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, num_points=n_points, num_classes=n_cls,
+            num_categories=n_cat, compute_dtype=compute_dtype,
+            knn_fast=knn_fast),
+        train=dataclasses.replace(cfg.train, batch_size=bs, style="Full"),
+    )
+    rng = np.random.default_rng(seed)
+    xs, segs, cats = _learnable_shapenet(rng, 48, n_points, n_cat, parts_per)
+    vx, vseg, vcat = _learnable_shapenet(rng, 16, n_points, n_cat, parts_per)
+
+    state = create_train_state(jax.random.PRNGKey(seed), cfg)
+    step = make_train_step(cfg)
+    eval_step = make_eval_step(cfg)
+    key = jax.random.PRNGKey(seed + 1)
+    gate = np.float32(1.0)
+    for ep in range(epochs):
+        order = rng.permutation(len(xs))
+        for lo in range(0, len(xs) - bs + 1, bs):
+            sel = order[lo:lo + bs]
+            # Siamese duplication (each sample twice, interleaved)
+            dup = np.repeat(sel, 2)
+            seg = segs[dup]
+            batch = jax.device_put({
+                "data": xs[dup],
+                "seg": seg,
+                "seg_onehot": onehot_encode(seg, n_cls),
+                "mask": (rng.uniform(size=seg.shape) < 0.2).astype(
+                    np.float32),
+                "cat_onehot": onehot_encode(cats[dup], n_cat),
+                "valid": np.ones((2 * bs,), np.float32),
+            })
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, batch, gate, sub)
+    float(metrics["total"])  # sync
+
+    ious = []
+    for lo in range(0, len(vx), bs):
+        vb = {
+            "data": vx[lo:lo + bs],
+            "seg_onehot": onehot_encode(vseg[lo:lo + bs], n_cls),
+            "mask": np.ones(vseg[lo:lo + bs].shape, np.float32),
+            "cat_onehot": onehot_encode(vcat[lo:lo + bs], n_cat),
+        }
+        prob, _ = eval_step(state, jax.device_put(vb))
+        pred = np.argmax(np.asarray(prob), -1)
+        for i in range(pred.shape[0]):
+            oids = list(range(vcat[lo + i] * parts_per,
+                              (vcat[lo + i] + 1) * parts_per))
+            ious.append(eval_iou(pred[i], vseg[lo + i], oids))
+    return float(np.mean(ious))
+
+
+def test_fast_config_convergence_matches_parity_on_device():
+    """Seeded regression for the recommended fast config's ACCURACY claim:
+    bf16 + fused kernels + packed-min selection must converge to the same
+    val mIoU band as the f32 parity path on the learnable synthetic set
+    (the committed form of the knn_fast promotion A/B, docs/kernels.md).
+    Catches a future kernel change that silently degrades training."""
+    miou_fast = _train_and_eval_miou("bfloat16", True)
+    miou_parity = _train_and_eval_miou("float32", False)
+    # both must actually learn (chance mIoU on 3 parts ~ 0.2), and the
+    # fast config must be within the observed run-to-run band of parity
+    assert miou_parity > 0.5, f"parity path failed to learn: {miou_parity}"
+    assert miou_fast > 0.5, f"fast path failed to learn: {miou_fast}"
+    assert miou_fast > miou_parity - 0.15, (
+        f"fast config degraded: {miou_fast:.3f} vs parity "
+        f"{miou_parity:.3f}")

@@ -221,3 +221,36 @@ class TestDataParallel:
         tr = S3DISTrainer(cfg, ds, None, test_area=5, seed=0, num_devices=8)
         m = tr.train_epoch()
         assert np.isfinite(m["total"])
+
+
+def test_fused_bf16_multi_device_refused(shapenet_dir, monkeypatch):
+    """bf16 fused kernels x DP is unvalidated on multi-chip hardware (the
+    in-kernel BN moments vs the SPMD partitioner) — the trainer must refuse
+    it rather than risk silently-wrong cross-replica BN (train/loop.py)."""
+    import weaksuppointcloudseg_tpu.train.loop as loop_mod
+
+    class _FakeTpuJax:
+        @staticmethod
+        def default_backend():
+            return "tpu"
+
+        def __getattr__(self, name):
+            return getattr(jax, name)
+
+    monkeypatch.setattr(loop_mod, "jax", _FakeTpuJax())
+    ds = shapenet.ShapeNetDataset(shapenet_dir)
+    cfg = configs.shapenet_config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, num_points=64, num_classes=12,
+                                  num_categories=4,
+                                  compute_dtype="bfloat16"),
+        train=dataclasses.replace(cfg.train, batch_size=4),
+    )
+    with pytest.raises(NotImplementedError, match="multi-device"):
+        ShapeNetTrainer(cfg, ds, None, num_devices=2)
+    # f32 multi-device (the supported mode) still constructs
+    cfg_f32 = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, compute_dtype="float32"))
+    t = ShapeNetTrainer(cfg_f32, ds, None, num_devices=2)
+    assert t.mesh is not None

@@ -308,93 +308,107 @@ knn_gather_with_sqdist.defvjp(*_make_vjp(with_values=True))
 def _kernel_edge(g_rows_ref, g_all_ref, v_all_ref, u_rows_ref, idx_ref,
                  y_ref, mom_ref, ymax_ref, amax_ref, ymin_ref, amin_ref,
                  *, k: int, n_valid: int, n_pad: int, fast: bool,
-                 idx_bits: int):
-    g_rows = g_rows_ref[0]
+                 idx_bits: int, tiles: int = 1):
     g_all = g_all_ref[0]
     v_all = v_all_ref[0]
-    u32 = u_rows_ref[0].astype(jnp.float32)
-    tm = g_rows.shape[0]
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
-
-    if fast:
-        d = jnp.maximum(_distance_tile(g_rows, g_all), 0.0)
-        x = _pack_distances(d, col_ids, idx_bits, n_valid, n_pad)
-    else:
-        x = _distance_tile(g_rows, g_all)
-        if n_valid < n_pad:
-            x = jnp.where(col_ids < n_valid, x, jnp.inf)
-
-    row_valid = None
-    if n_valid < n_pad:
-        # padded ROWS would contaminate the moment accumulators
-        i = pl.program_id(1)
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0) + i * tm
-        row_valid = row_ids < n_valid
-
-    rounds = _selection_rounds(x, col_ids, k, fast=fast, idx_bits=idx_bits,
-                               n_pad=n_pad)
+    tm = g_rows_ref.shape[1] // tiles
     co = v_all.shape[-1]
-    idx_cols, y_slabs = [], []
-    ysum = jnp.zeros((1, co), jnp.float32)
-    ysq = jnp.zeros((1, co), jnp.float32)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
     minmax = ymax_ref is not None
-    ymax = ymin = amax = amin = None
-    for c0 in range(0, k, MM_CHUNK):
-        sels = []
-        for _ in range(min(MM_CHUNK, k - c0)):
-            idx, sel, _ = next(rounds)
-            idx_cols.append(idx)
-            sels.append(sel.astype(v_all.dtype))
-        for sel in sels:  # back-to-back MXU gather+conv (see MM_CHUNK)
-            gath = jax.lax.dot_general(  # gather of v, exact for bf16 v
-                sel, v_all,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            y = (gath + u32).astype(v_all.dtype)
-            if row_valid is not None:
-                y = jnp.where(row_valid, y, jnp.zeros_like(y))
-            y32 = y.astype(jnp.float32)
-            ysum = ysum + jnp.sum(y32, axis=0, keepdims=True)
-            ysq = ysq + jnp.sum(jnp.square(y32), axis=0, keepdims=True)
-            if minmax:
-                # per-channel k-extrema of the rounded y, tracked on the
-                # exact f32 upcast (32-bit masks throughout — see
-                # ops/conv_kmax_pallas.py); first winner keeps ties
-                j = len(y_slabs)
-                if j == 0:
-                    ymax = ymin = y32
-                    amax = amin = jnp.zeros_like(y32, jnp.int32)
-                else:
-                    gt = y32 > ymax
-                    lt = y32 < ymin
-                    jvec = jnp.full(y32.shape, j, jnp.int32)
-                    ymax = jnp.where(gt, y32, ymax)
-                    amax = jnp.where(gt, jvec, amax)
-                    ymin = jnp.where(lt, y32, ymin)
-                    amin = jnp.where(lt, jvec, amin)
-            y_slabs.append(y)
-    if minmax:
-        ymax_ref[0] = ymax.astype(v_all.dtype)
-        amax_ref[0] = amax
-        ymin_ref[0] = ymin.astype(v_all.dtype)
-        amin_ref[0] = amin
 
     @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
     def _():
         mom_ref[...] = jnp.zeros_like(mom_ref)
 
-    idx_ref[0] = jnp.concatenate(idx_cols, axis=1)
-    y_ref[0] = jnp.concatenate(y_slabs, axis=1)
+    ysum = jnp.zeros((1, co), jnp.float32)
+    ysq = jnp.zeros((1, co), jnp.float32)
+    # ``tiles`` row-tiles per grid step: the [TM, Np] distance tile and
+    # selection state stay one-sub-tile-sized while the grid (and its
+    # per-step overhead) shrinks ``tiles``-fold — see docs/kernels.md
+    # round-3 notes.
+    for t in range(tiles):
+        rs = slice(t * tm, (t + 1) * tm)
+        g_rows = g_rows_ref[0, rs]
+        u32 = u_rows_ref[0, rs].astype(jnp.float32)
+
+        if fast:
+            d = jnp.maximum(_distance_tile(g_rows, g_all), 0.0)
+            x = _pack_distances(d, col_ids, idx_bits, n_valid, n_pad)
+        else:
+            x = _distance_tile(g_rows, g_all)
+            if n_valid < n_pad:
+                x = jnp.where(col_ids < n_valid, x, jnp.inf)
+
+        row_valid = None
+        if n_valid < n_pad:
+            # padded ROWS would contaminate the moment accumulators
+            i = pl.program_id(1)
+            row_ids = (jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
+                       + i * tiles * tm + t * tm)
+            row_valid = row_ids < n_valid
+
+        rounds = _selection_rounds(x, col_ids, k, fast=fast,
+                                   idx_bits=idx_bits, n_pad=n_pad)
+        idx_cols, y_slabs = [], []
+        ymax = ymin = amax = amin = None
+        for c0 in range(0, k, MM_CHUNK):
+            sels = []
+            for _ in range(min(MM_CHUNK, k - c0)):
+                idx, sel, _ = next(rounds)
+                idx_cols.append(idx)
+                sels.append(sel.astype(v_all.dtype))
+            for sel in sels:  # back-to-back MXU gather+conv (see MM_CHUNK)
+                gath = jax.lax.dot_general(  # gather of v, exact for bf16 v
+                    sel, v_all,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                y = (gath + u32).astype(v_all.dtype)
+                if row_valid is not None:
+                    y = jnp.where(row_valid, y, jnp.zeros_like(y))
+                y32 = y.astype(jnp.float32)
+                ysum = ysum + jnp.sum(y32, axis=0, keepdims=True)
+                ysq = ysq + jnp.sum(jnp.square(y32), axis=0, keepdims=True)
+                if minmax:
+                    # per-channel k-extrema of the rounded y, tracked on the
+                    # exact f32 upcast (32-bit masks throughout — see
+                    # ops/conv_kmax_pallas.py); first winner keeps ties
+                    j = len(y_slabs)
+                    if j == 0:
+                        ymax = ymin = y32
+                        amax = amin = jnp.zeros_like(y32, jnp.int32)
+                    else:
+                        gt = y32 > ymax
+                        lt = y32 < ymin
+                        jvec = jnp.full(y32.shape, j, jnp.int32)
+                        ymax = jnp.where(gt, y32, ymax)
+                        amax = jnp.where(gt, jvec, amax)
+                        ymin = jnp.where(lt, y32, ymin)
+                        amin = jnp.where(lt, jvec, amin)
+                y_slabs.append(y)
+        if minmax:
+            ymax_ref[0, rs] = ymax.astype(v_all.dtype)
+            amax_ref[0, rs] = amax
+            ymin_ref[0, rs] = ymin.astype(v_all.dtype)
+            amin_ref[0, rs] = amin
+        idx_ref[0, rs] = jnp.concatenate(idx_cols, axis=1)
+        y_ref[0, rs] = jnp.concatenate(y_slabs, axis=1)
+
     pad = jnp.zeros((6, co), jnp.float32)
     mom_ref[...] += jnp.concatenate([ysum, ysq, pad], axis=0)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "row_tile", "interpret", "fast", "with_minmax"))
+    static_argnames=("k", "row_tile", "interpret", "fast", "with_minmax",
+                     "tiles_per_step"))
 def _knn_edge_impl(g, v, u, k: int, row_tile: int, interpret: bool,
-                   fast: bool, with_minmax: bool = False):
+                   fast: bool, with_minmax: bool = False,
+                   tiles_per_step: int = 2):
+    # tiles_per_step=2 default: halves the grid's per-step overhead while
+    # the selection state stays one-sub-tile-sized (microbench at B=64,
+    # N=2048, k=20, C=64 bf16: 12.07 -> 11.88 ms with minmax, 14.02 ->
+    # 11.48 without; tiles=4 regresses — docs/kernels.md round 3)
     b, n, cg = g.shape
     co = v.shape[-1]
     co_pad = _round_up(co, 8)
@@ -404,7 +418,11 @@ def _knn_edge_impl(g, v, u, k: int, row_tile: int, interpret: bool,
     tm = min(row_tile, _round_up(n, 8))
     budget = (4 << 20) * max(1, (row_tile + 255) // 256)
     tm = max(8, min(tm, _round_up(budget // (4 * max(n, 1)), 8)))
-    n_pad = _round_up(n, tm)
+    # rows per grid step: `tiles` sub-tiles of tm rows each (the selection
+    # state stays [tm, Np]-sized; only block IO doubles)
+    tiles = max(1, min(tiles_per_step, max(1, n // tm)))
+    tr = tiles * tm
+    n_pad = _round_up(n, tr)
     cg_pad = _round_up(cg, LANE)
     if (n_pad, cg_pad) != (n, cg):
         g = jnp.pad(g, ((0, 0), (0, n_pad - n), (0, cg_pad - cg)))
@@ -415,17 +433,17 @@ def _knn_edge_impl(g, v, u, k: int, row_tile: int, interpret: bool,
     idx_bits = max(1, (n_pad - 1).bit_length()) if fast else 0
     kernel = functools.partial(
         _kernel_edge, k=k, n_valid=n, n_pad=n_pad, fast=fast,
-        idx_bits=idx_bits)
+        idx_bits=idx_bits, tiles=tiles)
     if not with_minmax:
         kernel = functools.partial(
             kernel, ymax_ref=None, amax_ref=None, ymin_ref=None,
             amin_ref=None)
-    row_spec = pl.BlockSpec((1, tm, co_pad), lambda bi, i: (bi, i, 0),
+    row_spec = pl.BlockSpec((1, tr, co_pad), lambda bi, i: (bi, i, 0),
                             memory_space=pltpu.VMEM)
     out_specs = [
-        pl.BlockSpec((1, tm, k), lambda bi, i: (bi, i, 0),
+        pl.BlockSpec((1, tr, k), lambda bi, i: (bi, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tm, k * co_pad), lambda bi, i: (bi, i, 0),
+        pl.BlockSpec((1, tr, k * co_pad), lambda bi, i: (bi, i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((8, co_pad), lambda bi, i: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -445,22 +463,23 @@ def _knn_edge_impl(g, v, u, k: int, row_tile: int, interpret: bool,
         ]
     outs = pl.pallas_call(
         kernel,
-        grid=(b, n_pad // tm),
+        grid=(b, n_pad // tr),
         in_specs=[
-            pl.BlockSpec((1, tm, cg_pad), lambda bi, i: (bi, i, 0),
+            pl.BlockSpec((1, tr, cg_pad), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, cg_pad), lambda bi, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, co_pad), lambda bi, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tm, co_pad), lambda bi, i: (bi, i, 0),
+            pl.BlockSpec((1, tr, co_pad), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=(32 << 20) * max(1, (row_tile + 255) // 256)),
+            vmem_limit_bytes=(32 << 20) * max(
+                1, (row_tile + 255) // 256) * tiles),
     )(g, g, v, u)
     idx, y, mom = outs[0], outs[1], outs[2]
     y = y[:, :n].reshape(b, n, k, co_pad)

@@ -36,11 +36,9 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _scatter_kernel(idx_ref, ct_ref, out_ref, *, n_pad: int, k: int, c: int,
-                    op_dtype):
+                    op_dtype, tiles: int = 1):
     i = pl.program_id(1)
-    idxt = idx_ref[0]   # [TM, k] int32 target rows
-    ct = ct_ref[0]      # [TM, k*C] contributions, slot-major lanes
-    tm = idxt.shape[0]
+    tm = idx_ref.shape[1] // tiles
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
 
     @pl.when(i == 0)
@@ -49,21 +47,26 @@ def _scatter_kernel(idx_ref, ct_ref, out_ref, *, n_pad: int, k: int, c: int,
 
     # accumulate the k slot contributions AND the cross-tile revisits in
     # f32 (the output block is f32 regardless of cotangent dtype) — a
-    # high-in-degree point sums hundreds of terms
+    # high-in-degree point sums hundreds of terms. ``tiles`` point-tiles
+    # per grid step share one revisit += (docs/kernels.md round 3).
     acc = jnp.zeros_like(out_ref[0])
-    for j in range(k):
-        onehot = (col_ids == idxt[:, j:j + 1]).astype(op_dtype)
-        contrib = jax.lax.dot_general(
-            onehot, ct[:, j * c:(j + 1) * c].astype(op_dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc = acc + contrib
+    for t in range(tiles):
+        rs = slice(t * tm, (t + 1) * tm)
+        idxt = idx_ref[0, rs]   # [TM, k] int32 target rows
+        ct = ct_ref[0, rs]      # [TM, k*C] contributions, slot-major lanes
+        for j in range(k):
+            onehot = (col_ids == idxt[:, j:j + 1]).astype(op_dtype)
+            contrib = jax.lax.dot_general(
+                onehot, ct[:, j * c:(j + 1) * c].astype(op_dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc + contrib
     out_ref[0] += acc
 
 
 def _scatter_w_kernel(idx_ref, w_ref, ct_ref, out_ref, *, n_pad: int, k: int,
-                      op_dtype):
+                      op_dtype, tiles: int = 1):
     """Weighted scatter: out[idx[t, j]] += w[t, j] * ct[t, :].
 
     The cotangent block is ONE [TM, C] tile shared by all k slots (the
@@ -71,10 +74,7 @@ def _scatter_w_kernel(idx_ref, w_ref, ct_ref, out_ref, *, n_pad: int, k: int,
     k-fold less HBM traffic than the unweighted kernel's [TM, k*C] block.
     """
     i = pl.program_id(1)
-    idxt = idx_ref[0]                        # [TM, k] int32
-    wt = w_ref[0]                            # [TM, k] f32
-    ct = ct_ref[0].astype(jnp.float32)       # [TM, C]
-    tm = idxt.shape[0]
+    tm = idx_ref.shape[1] // tiles
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
 
     @pl.when(i == 0)
@@ -82,21 +82,26 @@ def _scatter_w_kernel(idx_ref, w_ref, ct_ref, out_ref, *, n_pad: int, k: int,
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
     acc = jnp.zeros_like(out_ref[0])
-    for j in range(k):
-        onehot = (col_ids == idxt[:, j:j + 1]).astype(op_dtype)
-        ctj = (ct * wt[:, j:j + 1]).astype(op_dtype)
-        contrib = jax.lax.dot_general(
-            onehot, ctj,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc = acc + contrib
+    for t in range(tiles):
+        rs = slice(t * tm, (t + 1) * tm)
+        idxt = idx_ref[0, rs]                      # [TM, k] int32
+        wt = w_ref[0, rs]                          # [TM, k] f32
+        ct = ct_ref[0, rs].astype(jnp.float32)     # [TM, C]
+        for j in range(k):
+            onehot = (col_ids == idxt[:, j:j + 1]).astype(op_dtype)
+            ctj = (ct * wt[:, j:j + 1]).astype(op_dtype)
+            contrib = jax.lax.dot_general(
+                onehot, ctj,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc + contrib
     out_ref[0] += acc
 
 
 def _scatter_bn_kernel(idx_ref, y_ref, big_ref, a_ref, sv_ref, al_ref,
                        be_ref, dv_ref, du_ref, *, n_pad: int, k: int,
-                       c: int, sparse: bool, op_dtype):
+                       c: int, sparse: bool, op_dtype, tiles: int = 1):
     """Scatter with the batch-norm backward folded in: the cotangent
 
         dy_j = FIRST_j + alpha + beta * y_j
@@ -109,48 +114,55 @@ def _scatter_bn_kernel(idx_ref, y_ref, big_ref, a_ref, sv_ref, al_ref,
     FIRST_j is s * dz_j (``sparse=False``: big = the dense relu-masked
     cotangent dz [TM, k*C]) or q * 1[asel == j] (``sparse=True``: the
     k-max routed [TM, C] gradient; big = q, a_ref = asel).
+
+    ``tiles`` point-tiles are processed per grid step, sharing one
+    revisit += on the output block.
     """
     i = pl.program_id(1)
-    idxt = idx_ref[0]                        # [TM, k] int32
-    y = y_ref[0]                             # [TM, k*C]
     alpha = al_ref[...]                      # [1, C] f32
     beta = be_ref[...]
     sv = sv_ref[...]
-    tm = idxt.shape[0]
+    tm = idx_ref.shape[1] // tiles
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
-    if sparse:
-        q32 = big_ref[0].astype(jnp.float32)   # [TM, C]
-        av = a_ref[0]                          # [TM, C] int32
-    else:
-        dz = big_ref[0]                        # [TM, k*C]
 
     @pl.when(i == 0)
     def _():
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
     acc = jnp.zeros_like(dv_ref[0])
-    du = jnp.zeros((tm, c), jnp.float32)
-    for j in range(k):
-        yj32 = y[:, j * c:(j + 1) * c].astype(jnp.float32)
+    for t in range(tiles):
+        rs = slice(t * tm, (t + 1) * tm)
+        idxt = idx_ref[0, rs]                    # [TM, k] int32
+        y = y_ref[0, rs]                         # [TM, k*C]
         if sparse:
-            first = jnp.where(av == j, q32, jnp.zeros_like(q32))
+            q32 = big_ref[0, rs].astype(jnp.float32)   # [TM, C]
+            av = a_ref[0, rs]                          # [TM, C] int32
         else:
-            first = sv * dz[:, j * c:(j + 1) * c].astype(jnp.float32)
-        dyj = first + alpha + beta * yj32
-        du = du + dyj
-        onehot = (col_ids == idxt[:, j:j + 1]).astype(op_dtype)
-        acc = acc + jax.lax.dot_general(
-            onehot, dyj.astype(op_dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            dz = big_ref[0, rs]                        # [TM, k*C]
+
+        du = jnp.zeros((tm, c), jnp.float32)
+        for j in range(k):
+            yj32 = y[:, j * c:(j + 1) * c].astype(jnp.float32)
+            if sparse:
+                first = jnp.where(av == j, q32, jnp.zeros_like(q32))
+            else:
+                first = sv * dz[:, j * c:(j + 1) * c].astype(jnp.float32)
+            dyj = first + alpha + beta * yj32
+            du = du + dyj
+            onehot = (col_ids == idxt[:, j:j + 1]).astype(op_dtype)
+            acc = acc + jax.lax.dot_general(
+                onehot, dyj.astype(op_dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        du_ref[0, rs] = du
     dv_ref[0] += acc
-    du_ref[0] = du
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "tile_rows", "interpret", "op_dtype"))
+    static_argnames=("n", "tile_rows", "interpret", "op_dtype",
+                     "tiles_per_step"))
 def scatter_bn_bwd_pallas(
     idx: jax.Array,      # int32 [B, P, k] target rows
     y: jax.Array,        # [B, P, k, C] saved pre-BN activations
@@ -163,6 +175,7 @@ def scatter_bn_bwd_pallas(
     tile_rows: int = 512,
     interpret: bool = False,
     op_dtype=None,
+    tiles_per_step: int = 1,
 ) -> tuple:
     """(dv [B,n,C] f32, du [B,P,C] f32) for dy = first + alpha + beta*y
     assembled in VMEM — see _scatter_bn_kernel."""
@@ -173,7 +186,9 @@ def scatter_bn_bwd_pallas(
     sparse = isinstance(big, tuple)
     n_pad = _round_up(n, 128)
     tm = max(8, min(tile_rows, (4 << 20) // (4 * n_pad)))
-    p_pad = _round_up(p, tm)
+    tiles = max(1, min(tiles_per_step, max(1, p // tm)))
+    tr = tiles * tm
+    p_pad = _round_up(p, tr)
     y_r = y.reshape(b, p, k * c)
     if sparse:
         q, asel = big
@@ -198,16 +213,16 @@ def scatter_bn_bwd_pallas(
     outs = pl.pallas_call(
         functools.partial(
             _scatter_bn_kernel, n_pad=n_pad, k=k, c=c, sparse=sparse,
-            op_dtype=op_dtype),
-        grid=(b, p_pad // tm),
+            op_dtype=op_dtype, tiles=tiles),
+        grid=(b, p_pad // tr),
         in_specs=[
-            pl.BlockSpec((1, tm, k), lambda bi, i: (bi, i, 0),
+            pl.BlockSpec((1, tr, k), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tm, k * c), lambda bi, i: (bi, i, 0),
+            pl.BlockSpec((1, tr, k * c), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tm, big_c), lambda bi, i: (bi, i, 0),
+            pl.BlockSpec((1, tr, big_c), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tm, a_c), lambda bi, i: (bi, i, 0),
+            pl.BlockSpec((1, tr, a_c), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -219,7 +234,7 @@ def scatter_bn_bwd_pallas(
         out_specs=(
             pl.BlockSpec((1, n_pad, c), lambda bi, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tm, c), lambda bi, i: (bi, i, 0),
+            pl.BlockSpec((1, tr, c), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -236,7 +251,8 @@ def scatter_bn_bwd_pallas(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "tile_rows", "interpret", "op_dtype")
+    jax.jit, static_argnames=("n", "tile_rows", "interpret", "op_dtype",
+                              "tiles_per_step")
 )
 def scatter_add_weighted_pallas(
     idx: jax.Array,      # int32 [B, P, k] target rows
@@ -247,6 +263,7 @@ def scatter_add_weighted_pallas(
     tile_rows: int = 512,
     interpret: bool = False,
     op_dtype=None,
+    tiles_per_step: int = 1,
 ) -> jax.Array:
     """out[b, idx[b, p, j]] += w[b, p, j] * ct[b, p] -> [B, n, C] f32."""
     if op_dtype is None:
@@ -255,7 +272,9 @@ def scatter_add_weighted_pallas(
     c = ct.shape[-1]
     n_pad = _round_up(n, 128)
     tm = max(8, min(tile_rows, (4 << 20) // (4 * n_pad)))
-    p_pad = _round_up(p, tm)
+    tiles = max(1, min(tiles_per_step, max(1, p // tm)))
+    tr = tiles * tm
+    p_pad = _round_up(p, tr)
     if p_pad != p:
         idx = jnp.pad(idx, ((0, 0), (0, p_pad - p), (0, 0)),
                       constant_values=n_pad)
@@ -263,14 +282,15 @@ def scatter_add_weighted_pallas(
         ct = jnp.pad(ct, ((0, 0), (0, p_pad - p), (0, 0)))
     out = pl.pallas_call(
         functools.partial(
-            _scatter_w_kernel, n_pad=n_pad, k=k, op_dtype=op_dtype),
-        grid=(b, p_pad // tm),
+            _scatter_w_kernel, n_pad=n_pad, k=k, op_dtype=op_dtype,
+            tiles=tiles),
+        grid=(b, p_pad // tr),
         in_specs=[
-            pl.BlockSpec((1, tm, k), lambda bi, i: (bi, i, 0),
+            pl.BlockSpec((1, tr, k), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tm, k), lambda bi, i: (bi, i, 0),
+            pl.BlockSpec((1, tr, k), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tm, c), lambda bi, i: (bi, i, 0),
+            pl.BlockSpec((1, tr, c), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, n_pad, c), lambda bi, i: (bi, 0, 0),
@@ -283,7 +303,8 @@ def scatter_add_weighted_pallas(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "tile_rows", "interpret", "op_dtype")
+    jax.jit, static_argnames=("n", "tile_rows", "interpret", "op_dtype",
+                              "tiles_per_step")
 )
 def scatter_add_pallas(
     idx: jax.Array,      # int32 [B, P, k] target rows
@@ -293,6 +314,7 @@ def scatter_add_pallas(
     tile_rows: int = 512,
     interpret: bool = False,
     op_dtype=None,
+    tiles_per_step: int = 1,
 ) -> jax.Array:
     """out[b, idx[b, p, j]] += g[b, p, j] -> [B, n, C].
 
@@ -307,7 +329,9 @@ def scatter_add_pallas(
     n_pad = _round_up(n, 128)
     # [TM, n_pad] int32 iota + transient mask in VMEM; cap at ~4 MB
     tm = max(8, min(tile_rows, (4 << 20) // (4 * n_pad)))
-    p_pad = _round_up(p, tm)
+    tiles = max(1, min(tiles_per_step, max(1, p // tm)))
+    tr = tiles * tm
+    p_pad = _round_up(p, tr)
     idx_r = idx
     g_r = g.reshape(b, p, k * c)
     if p_pad != p:
@@ -317,12 +341,13 @@ def scatter_add_pallas(
         g_r = jnp.pad(g_r, ((0, 0), (0, p_pad - p), (0, 0)))
     out = pl.pallas_call(
         functools.partial(
-            _scatter_kernel, n_pad=n_pad, k=k, c=c, op_dtype=op_dtype),
-        grid=(b, p_pad // tm),
+            _scatter_kernel, n_pad=n_pad, k=k, c=c, op_dtype=op_dtype,
+            tiles=tiles),
+        grid=(b, p_pad // tr),
         in_specs=[
-            pl.BlockSpec((1, tm, k), lambda bi, i: (bi, i, 0),
+            pl.BlockSpec((1, tr, k), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tm, k * c), lambda bi, i: (bi, i, 0),
+            pl.BlockSpec((1, tr, k * c), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, n_pad, c), lambda bi, i: (bi, 0, 0),

@@ -22,6 +22,7 @@ import time
 from typing import Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from weaksuppointcloudseg_tpu.configs import ExperimentConfig
@@ -54,6 +55,22 @@ class _TrainerBase:
         self.style = cfg.train.style
         self.rampup = cfg.train.rampup
         self.mesh = make_mesh(num_devices) if (num_devices or 0) > 1 else None
+        if (self.mesh is not None
+                and jnp.dtype(cfg.model.compute_dtype) == jnp.bfloat16
+                and cfg.model.use_fused_knn
+                and jax.default_backend() in ("tpu", "axon")):
+            # The fused bf16 Pallas blocks compute BN batch moments
+            # in-kernel; how XLA's SPMD partitioner treats those
+            # pallas_calls over a sharded batch axis has NOT been validated
+            # on multi-chip hardware (single real chip here). Refuse rather
+            # than risk silently-wrong cross-replica BN — multi-device
+            # training uses float32 (whose XLA path the DP equivalence
+            # test covers) until the fused x DP interaction is validated.
+            raise NotImplementedError(
+                "bf16 fused-kernel training on a multi-device mesh is not "
+                "validated (in-kernel BN moments vs the SPMD partitioner); "
+                "use compute_dtype='float32' for --num_devices > 1, or "
+                "bf16 fused on a single chip.")
         key = jax.random.PRNGKey(seed)
         self.state = create_train_state(key, cfg)
         if self.mesh is not None:

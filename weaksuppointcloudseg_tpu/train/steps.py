@@ -16,7 +16,11 @@ Design notes:
 - Batches arrive sharded over the mesh batch axis (parallel/mesh.py); the
   mean-reductions in the losses and BN moments span the sharded axis, so
   XLA's partitioner inserts the psum collectives (data-parallel gradient
-  all-reduce + cross-replica BN) automatically.
+  all-reduce + cross-replica BN) automatically. This holds for the XLA
+  (f32 / non-fused) path, which is what the DP equivalence test covers;
+  the bf16 fused-kernel path computes BN moments inside pallas_calls whose
+  SPMD partitioning is NOT validated on multi-chip hardware — the trainer
+  refuses that combination (train/loop.py), f32 is the multi-device mode.
 - ``state`` buffers are donated — params/optimizer state update in place in
   HBM.
 """
