@@ -304,7 +304,9 @@ class TestKnownBadBf16Guard:
         import weaksuppointcloudseg_tpu.models.dgcnn_cls as cls_mod
 
         monkeypatch.setattr(cls_mod, "jax", self._FakeTpuJax())
-        cfg = cls_mod.ClsConfig()
+        # the fused path (use_fused_knn=True) is immune by construction;
+        # only the straight composition must raise
+        cfg = cls_mod.ClsConfig(use_fused_knn=False)
         params, state = cls_mod.init_dgcnn_cls(jax.random.PRNGKey(0), cfg)
         x = jnp.asarray(rng.standard_normal((2, 32, 3)), jnp.bfloat16)
         with pytest.raises(ValueError, match="miscompiles"):

@@ -1,0 +1,48 @@
+"""The reproduction runbook (scripts/reproduce.py) must stay executable
+end-to-end: synthetic train -> Summary-format check vs the committed
+goldens -> LP test -> results table (docs/reproduce.md)."""
+
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def reproduce_mod():
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        import reproduce
+        yield reproduce
+    finally:
+        sys.path.pop(0)
+
+
+def test_smoke_shapenet(reproduce_mod, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    reproduce_mod.main([
+        "--dataset", "shapenet", "--smoke", "--smoke-epochs", "2",
+        "--data-root", str(tmp_path / "Dataset"),
+        "--out", str(tmp_path / "results.md")])
+    table = open(tmp_path / "results.md").read()
+    assert "per-shape mIoU" in table and "overall acc" in table
+
+
+def test_format_signature_rules(reproduce_mod, tmp_path):
+    sig = reproduce_mod._line_signature
+    # numbers (incl. scientific notation and thousands separators) collapse
+    assert sig("Epoch 12 Train loss 2.89 acc 33.20% lr 1.00e-03 "
+               "(1,234,567 pts/s)") == sig(
+        "Epoch 0 Train loss 0.01 acc 99.99% lr 5.00e-05 (37 pts/s)")
+    # structural drift is detected
+    assert sig("Epoch 0 Train loss 1.0") != sig("Epoch 0 Eval loss 1.0")
+    golden = tmp_path / "golden.txt"
+    golden.write_text("# comment ignored\nEpoch 0 Train loss 1.0 acc 5%\n")
+    produced = tmp_path / "Summary.txt"
+    produced.write_text("Epoch 3 Train loss 2.5 acc 41%\n")
+    reproduce_mod.check_summary_format(str(produced), str(golden))  # passes
+    produced.write_text("Epoch 3 TrainLoss 2.5 acc 41%\n")
+    with pytest.raises(SystemExit, match="drifted"):
+        reproduce_mod.check_summary_format(str(produced), str(golden))

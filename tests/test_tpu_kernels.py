@@ -718,3 +718,4 @@ def test_fast_config_convergence_matches_parity_on_device():
     assert miou_fast > miou_parity - 0.15, (
         f"fast config degraded: {miou_fast:.3f} vs parity "
         f"{miou_parity:.3f}")
+

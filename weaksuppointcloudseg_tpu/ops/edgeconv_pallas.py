@@ -328,8 +328,13 @@ def _kernel_edge(g_rows_ref, g_all_ref, v_all_ref, u_rows_ref, idx_ref,
     # round-3 notes.
     for t in range(tiles):
         rs = slice(t * tm, (t + 1) * tm)
-        g_rows = g_rows_ref[0, rs]
-        u32 = u_rows_ref[0, rs].astype(jnp.float32)
+        # tiles == 1 must load/store full blocks: a degenerate full-range
+        # ref slice triggers a pathologically slow Mosaic lowering on this
+        # backend (ops/scatter_pallas.py::_row_view)
+        one = tiles == 1
+        g_rows = g_rows_ref[0] if one else g_rows_ref[0, rs]
+        u32 = (u_rows_ref[0] if one else u_rows_ref[0, rs]).astype(
+            jnp.float32)
 
         if fast:
             d = jnp.maximum(_distance_tile(g_rows, g_all), 0.0)
@@ -387,12 +392,22 @@ def _kernel_edge(g_rows_ref, g_all_ref, v_all_ref, u_rows_ref, idx_ref,
                         amin = jnp.where(lt, jvec, amin)
                 y_slabs.append(y)
         if minmax:
-            ymax_ref[0, rs] = ymax.astype(v_all.dtype)
-            amax_ref[0, rs] = amax
-            ymin_ref[0, rs] = ymin.astype(v_all.dtype)
-            amin_ref[0, rs] = amin
-        idx_ref[0, rs] = jnp.concatenate(idx_cols, axis=1)
-        y_ref[0, rs] = jnp.concatenate(y_slabs, axis=1)
+            if one:
+                ymax_ref[0] = ymax.astype(v_all.dtype)
+                amax_ref[0] = amax
+                ymin_ref[0] = ymin.astype(v_all.dtype)
+                amin_ref[0] = amin
+            else:
+                ymax_ref[0, rs] = ymax.astype(v_all.dtype)
+                amax_ref[0, rs] = amax
+                ymin_ref[0, rs] = ymin.astype(v_all.dtype)
+                amin_ref[0, rs] = amin
+        if one:
+            idx_ref[0] = jnp.concatenate(idx_cols, axis=1)
+            y_ref[0] = jnp.concatenate(y_slabs, axis=1)
+        else:
+            idx_ref[0, rs] = jnp.concatenate(idx_cols, axis=1)
+            y_ref[0, rs] = jnp.concatenate(y_slabs, axis=1)
 
     pad = jnp.zeros((6, co), jnp.float32)
     mom_ref[...] += jnp.concatenate([ysum, ysq, pad], axis=0)

@@ -35,6 +35,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+
+def _row_view(ref, t, tm, tiles):
+    """Load sub-tile t's rows of a (1, tiles*tm, ...) block.
+
+    tiles == 1 must use the plain full load: a degenerate full-range slice
+    (ref[0, 0:tm]) sends this backend's Mosaic compiler into a
+    pathologically slow lowering (>10 min for a kernel that otherwise
+    compiles in <1 s — round-3 finding).
+    """
+    return ref[0] if tiles == 1 else ref[0, t * tm:(t + 1) * tm]
+
+
 def _scatter_kernel(idx_ref, ct_ref, out_ref, *, n_pad: int, k: int, c: int,
                     op_dtype, tiles: int = 1):
     i = pl.program_id(1)
@@ -51,9 +63,8 @@ def _scatter_kernel(idx_ref, ct_ref, out_ref, *, n_pad: int, k: int, c: int,
     # per grid step share one revisit += (docs/kernels.md round 3).
     acc = jnp.zeros_like(out_ref[0])
     for t in range(tiles):
-        rs = slice(t * tm, (t + 1) * tm)
-        idxt = idx_ref[0, rs]   # [TM, k] int32 target rows
-        ct = ct_ref[0, rs]      # [TM, k*C] contributions, slot-major lanes
+        idxt = _row_view(idx_ref, t, tm, tiles)  # [TM, k] int32 target rows
+        ct = _row_view(ct_ref, t, tm, tiles)     # [TM, k*C], slot-major lanes
         for j in range(k):
             onehot = (col_ids == idxt[:, j:j + 1]).astype(op_dtype)
             contrib = jax.lax.dot_general(
@@ -83,10 +94,9 @@ def _scatter_w_kernel(idx_ref, w_ref, ct_ref, out_ref, *, n_pad: int, k: int,
 
     acc = jnp.zeros_like(out_ref[0])
     for t in range(tiles):
-        rs = slice(t * tm, (t + 1) * tm)
-        idxt = idx_ref[0, rs]                      # [TM, k] int32
-        wt = w_ref[0, rs]                          # [TM, k] f32
-        ct = ct_ref[0, rs].astype(jnp.float32)     # [TM, C]
+        idxt = _row_view(idx_ref, t, tm, tiles)                  # [TM, k]
+        wt = _row_view(w_ref, t, tm, tiles)                      # [TM, k] f32
+        ct = _row_view(ct_ref, t, tm, tiles).astype(jnp.float32) # [TM, C]
         for j in range(k):
             onehot = (col_ids == idxt[:, j:j + 1]).astype(op_dtype)
             ctj = (ct * wt[:, j:j + 1]).astype(op_dtype)
@@ -131,14 +141,13 @@ def _scatter_bn_kernel(idx_ref, y_ref, big_ref, a_ref, sv_ref, al_ref,
 
     acc = jnp.zeros_like(dv_ref[0])
     for t in range(tiles):
-        rs = slice(t * tm, (t + 1) * tm)
-        idxt = idx_ref[0, rs]                    # [TM, k] int32
-        y = y_ref[0, rs]                         # [TM, k*C]
+        idxt = _row_view(idx_ref, t, tm, tiles)                # [TM, k] int32
+        y = _row_view(y_ref, t, tm, tiles)                     # [TM, k*C]
         if sparse:
-            q32 = big_ref[0, rs].astype(jnp.float32)   # [TM, C]
-            av = a_ref[0, rs]                          # [TM, C] int32
+            q32 = _row_view(big_ref, t, tm, tiles).astype(jnp.float32)
+            av = _row_view(a_ref, t, tm, tiles)                # [TM, C] int32
         else:
-            dz = big_ref[0, rs]                        # [TM, k*C]
+            dz = _row_view(big_ref, t, tm, tiles)              # [TM, k*C]
 
         du = jnp.zeros((tm, c), jnp.float32)
         for j in range(k):
@@ -155,7 +164,10 @@ def _scatter_bn_kernel(idx_ref, y_ref, big_ref, a_ref, sv_ref, al_ref,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        du_ref[0, rs] = du
+        if tiles == 1:
+            du_ref[0] = du
+        else:
+            du_ref[0, t * tm:(t + 1) * tm] = du
     dv_ref[0] += acc
 
 
