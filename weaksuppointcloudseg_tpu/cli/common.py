@@ -87,6 +87,17 @@ def debug_context(args):
     return contextlib.nullcontext()
 
 
+def profile_context(args):
+    """Trace context for a whole inference/test run (--profile DIR)."""
+    import contextlib
+
+    if not getattr(args, "profile", None):
+        return contextlib.nullcontext()
+    from weaksuppointcloudseg_tpu.utils.profiling import trace
+
+    return trace(args.profile)
+
+
 def profile_epoch_context(args, epoch: int, start_epoch: int, last_epoch: int):
     """Trace context for one training epoch (--profile DIR).
 

@@ -51,9 +51,10 @@ def main(argv=None) -> None:
     trainer.restore_checkpoint(ckpt)
 
     pred_dir = os.path.join(base, "Prediction") if base else None
-    res = trainer.test(
-        rooms, use_label_prop=args.Style == "Full", pred_dir=pred_dir
-    )
+    with common.debug_context(args), common.profile_context(args):
+        res = trainer.test(
+            rooms, use_label_prop=args.Style == "Full", pred_dir=pred_dir
+        )
     print(f"Test Area {args.test_area}  mIoU {100 * res['miou']:.2f}%  "
           f"acc {100 * res['accuracy']:.2f}%")
     for name, iou in zip(S3DIS_CLASSES, res["per_class_iou"]):

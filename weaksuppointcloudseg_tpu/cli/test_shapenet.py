@@ -45,11 +45,12 @@ def main(argv=None) -> None:
         ckpt = os.path.join(base, "Checkpoint", "Checkpoint_epoch-best.npz")
     trainer.restore_checkpoint(ckpt)
 
-    res = trainer.test(
-        testset,
-        use_label_prop=args.Style == "Full",
-        num_points=args.num_points,
-    )
+    with common.debug_context(args), common.profile_context(args):
+        res = trainer.test(
+            testset,
+            use_label_prop=args.Style == "Full",
+            num_points=args.num_points,
+        )
     print(
         f"Test perdata mIoU {100 * res['perdata_miou']:.2f}%  "
         f"pershape mIoU {100 * res['pershape_miou']:.2f}%  "
