@@ -276,3 +276,43 @@ def test_fused_edge_conv_layer_matches_straight(rng):
         training=True, bn_decay=0.9)[0])))(f)
     np.testing.assert_allclose(np.asarray(dff), np.asarray(dfs),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_knockout_free_fast_selection_identical(monkeypatch, rng):
+    """The knockout-free fast selection (masked min over the unchanged
+    packed tile — valid because packed values are strictly unique) must
+    produce bit-identical outputs to the knockout formulation."""
+    import weaksuppointcloudseg_tpu.ops.edgeconv_pallas as ep
+
+    B, N, K, CG, CO = 2, 192, 8, 16, 24
+    g = jnp.asarray(rng.standard_normal((B, N, CG)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, N, CO)), jnp.bfloat16)
+    u = jnp.asarray(rng.standard_normal((B, N, CO)), jnp.bfloat16)
+
+    base = ep._knn_edge_impl(g, v, u, K, 64, True, True, with_minmax=True)
+    monkeypatch.setattr(ep, "KNOCKOUT_FREE_FAST", True)
+    ep._knn_edge_impl.clear_cache()
+    try:
+        new = ep._knn_edge_impl(g, v, u, K, 64, True, True, with_minmax=True)
+        for i, (a, b) in enumerate(zip(base, new)):
+            np.testing.assert_array_equal(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                err_msg=f"output {i}")
+    finally:
+        ep._knn_edge_impl.clear_cache()
+
+
+def test_knockout_free_fast_knn_identical(monkeypatch, rng):
+    import weaksuppointcloudseg_tpu.ops.knn_pallas as kp
+
+    x = jnp.asarray(rng.standard_normal((2, 200, 3)), jnp.float32)
+    base = kp.knn_pallas(x, 8, fast=True, interpret=True, with_values=True)
+    monkeypatch.setattr(kp, "KNOCKOUT_FREE_FAST", True)
+    kp.knn_pallas.clear_cache()
+    try:
+        new = kp.knn_pallas(x, 8, fast=True, interpret=True,
+                            with_values=True)
+        np.testing.assert_array_equal(np.asarray(base[0]), np.asarray(new[0]))
+        np.testing.assert_array_equal(np.asarray(base[1]), np.asarray(new[1]))
+    finally:
+        kp.knn_pallas.clear_cache()

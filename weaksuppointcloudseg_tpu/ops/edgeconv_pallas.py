@@ -79,6 +79,14 @@ def _distance_tile(g_rows, g_all):
 MM_CHUNK = 10
 
 
+# Knockout-free fast selection: packed values are STRICTLY unique (the
+# column index lives in the low bits), so round r+1's winner is simply the
+# minimum of the values strictly greater than round r's — a masked
+# min-reduce over the UNCHANGED x. This removes the per-round knockout
+# write-back (3 memory passes/round -> 2): microbenched before flipping.
+KNOCKOUT_FREE_FAST = False
+
+
 def _selection_rounds(x, col_ids, k, *, fast: bool, idx_bits: int,
                       n_pad: int):
     """Yield k rounds of (idx [TM,1], sel bool [TM,Np], sqdist [TM,1] f32).
@@ -88,6 +96,18 @@ def _selection_rounds(x, col_ids, k, *, fast: bool, idx_bits: int,
     ordering identical to jax.lax.top_k(-d, k).
     """
     mask = (1 << idx_bits) - 1
+    if fast and KNOCKOUT_FREE_FAST:
+        m = None
+        for _ in range(k):
+            if m is None:
+                m = jnp.min(x, axis=1, keepdims=True)
+            else:
+                m = jnp.min(jnp.where(x > m, x, jnp.int32(0x7F7FFFFF)),
+                            axis=1, keepdims=True)
+            idx = m & mask
+            val = jax.lax.bitcast_convert_type(m & ~mask, jnp.float32)
+            yield idx, col_ids == idx, val
+        return
     for _ in range(k):
         m = jnp.min(x, axis=1, keepdims=True)
         if fast:

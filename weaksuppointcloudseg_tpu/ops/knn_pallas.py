@@ -38,6 +38,13 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Knockout-free fast selection — see ops/edgeconv_pallas.py for the
+# rationale (packed values are strictly unique, so a masked min over the
+# UNCHANGED tile replaces the knockout write AND, with no gather mask
+# needed here, the winner compare: 1 memory pass/round).
+KNOCKOUT_FREE_FAST = False
+
+
 def _knn_kernel_fast(rows_ref, all_ref, out_ref, val_ref, *, k: int,
                      n_valid: int, n_pad: int, idx_bits: int):
     """Packed-min selection: distance bits and column index share one int32.
@@ -72,14 +79,29 @@ def _knn_kernel_fast(rows_ref, all_ref, out_ref, val_ref, *, k: int,
         packed = jnp.where(col_ids < n_valid, packed, big | col_ids)
 
     idx_cols, val_cols = [], []
-    knocked = packed
-    for _ in range(k):
-        m = jnp.min(knocked, axis=1, keepdims=True)
-        idx = m & mask
-        idx_cols.append(idx)
-        val_cols.append(
-            jax.lax.bitcast_convert_type(m & ~mask, jnp.float32))
-        knocked = jnp.where(col_ids == idx, jnp.int32(0x7F7FFFFF), knocked)
+    if KNOCKOUT_FREE_FAST:
+        # packed values are strictly unique, so the next winner is the min
+        # of values strictly greater than the last — masked min over the
+        # UNCHANGED packed tile: 1 memory pass/round, no knockout write and
+        # (with no gather here) no winner-mask compare at all
+        m = None
+        for _ in range(k):
+            src = packed if m is None else jnp.where(
+                packed > m, packed, jnp.int32(0x7F7FFFFF))
+            m = jnp.min(src, axis=1, keepdims=True)
+            idx_cols.append(m & mask)
+            val_cols.append(
+                jax.lax.bitcast_convert_type(m & ~mask, jnp.float32))
+    else:
+        knocked = packed
+        for _ in range(k):
+            m = jnp.min(knocked, axis=1, keepdims=True)
+            idx = m & mask
+            idx_cols.append(idx)
+            val_cols.append(
+                jax.lax.bitcast_convert_type(m & ~mask, jnp.float32))
+            knocked = jnp.where(col_ids == idx, jnp.int32(0x7F7FFFFF),
+                                knocked)
     out_ref[0] = jnp.concatenate(idx_cols, axis=1)
     val_ref[0] = jnp.concatenate(val_cols, axis=1)
 
