@@ -322,7 +322,10 @@ def test_model_fused_path_matches_straight_on_device():
 
     outs = {}
     for fused in (True, False):
-        cfg = dataclasses.replace(cfg0, use_fused_knn=fused)
+        # the straight bf16 arm's FORWARD values are correct (only its
+        # gradients miscompile) — override the hard error to compare logits
+        cfg = dataclasses.replace(cfg0, use_fused_knn=fused,
+                                  allow_known_bad_bf16=not fused)
         logits, _ = jax.jit(
             lambda p, s, x, c: apply_dgcnn_seg(
                 p, s, x, c, cfg=cfg, training=True, bn_decay=0.9,
@@ -719,3 +722,46 @@ def test_fast_config_convergence_matches_parity_on_device():
         f"fast config degraded: {miou_fast:.3f} vs parity "
         f"{miou_parity:.3f}")
 
+
+
+def test_cls_fused_path_on_device():
+    """bf16 classifier fused path: logits match the f32 straight path and
+    gradients are NONZERO for the first stage's weights (the straight bf16
+    composition miscompiles those to zero — docs/kernels.md)."""
+    from weaksuppointcloudseg_tpu.models.dgcnn_cls import (
+        ClsConfig,
+        apply_dgcnn_cls,
+        classification_loss,
+        init_dgcnn_cls,
+    )
+
+    rng = np.random.default_rng(0)
+    cfg = ClsConfig(num_classes=8, edge_channels=(32, 32), fc_channels=(64,),
+                    global_channels=128, knn_fast=True)
+    params, state = init_dgcnn_cls(jax.random.PRNGKey(0), cfg)
+    # the transform net's output layer is zero-init (identity transform),
+    # which makes every upstream transform-net gradient legitimately zero;
+    # perturb it so a nonzero-grad assertion is meaningful
+    params["transform_net"]["transform_out"]["w"] = (
+        0.01 * jax.random.normal(jax.random.PRNGKey(1), (256, 9)))
+    x32 = jnp.asarray(rng.standard_normal((2, 256, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 8, (2,)), jnp.int32)
+
+    logits_f32, _ = apply_dgcnn_cls(params, state, x32, cfg=cfg,
+                                    training=False, bn_decay=None)
+    logits_b16, _ = apply_dgcnn_cls(params, state, x32.astype(jnp.bfloat16),
+                                    cfg=cfg, training=False, bn_decay=None)
+    np.testing.assert_allclose(
+        np.asarray(logits_b16, np.float32), np.asarray(logits_f32), atol=0.15)
+
+    def loss_fn(p):
+        lg, _ = apply_dgcnn_cls(p, state, x32.astype(jnp.bfloat16), cfg=cfg,
+                                training=True, bn_decay=0.9,
+                                rng=jax.random.PRNGKey(2))
+        return classification_loss(lg.astype(jnp.float32), labels)
+
+    grads = jax.jit(jax.grad(loss_fn))(params)
+    g1 = np.asarray(grads["dgcnn1"]["w"], np.float32)
+    gt = np.asarray(grads["transform_net"]["tconv1"]["w"], np.float32)
+    assert np.abs(g1).max() > 0, "first-stage grads are zero (miscompile?)"
+    assert np.abs(gt).max() > 0, "transform-net grads are zero (miscompile?)"

@@ -35,9 +35,12 @@ class ClsConfig:
     label_smoothing: float = 0.2
     bn_eps: float = 1e-3
     use_fused_knn: bool = True
-    # see ModelConfig.allow_known_bad_bf16: the classifier has no fused
-    # alternative, so bf16 training on a TPU backend always hits the
-    # straight conv+BN+k-max zero-gradient miscompile (docs/kernels.md)
+    # packed-min top-k selection (see ModelConfig.knn_fast)
+    knn_fast: bool = False
+    # see ModelConfig.allow_known_bad_bf16: with use_fused_knn=False, bf16
+    # training on a TPU backend hits the straight conv+BN+k-max
+    # zero-gradient miscompile (docs/kernels.md); the fused path is immune
+    # by construction
     allow_known_bad_bf16: bool = False
 
 
@@ -76,12 +79,22 @@ def apply_dgcnn_cls(
 ) -> Tuple[jax.Array, dict]:
     """Forward pass -> (logits [B, num_classes], new BN state)."""
     new_state = dict(state)
-    if (training and x.dtype == jnp.bfloat16
+    # bf16/TPU: the same whole-stage fusion as the segmentation nets — each
+    # single-conv EdgeConv stage (kNN + conv + BN + relu + k-max) is one
+    # custom-VJP Pallas block, the transform net takes its merged stage, and
+    # the aggregation conv fuses its N-max. Besides the HBM savings this is
+    # what makes bf16 classifier training SOUND on this backend: no straight
+    # conv+BN+max(axis=2) composition (the zero-gradient miscompile,
+    # docs/kernels.md) exists on the fused path.
+    fused_tpu = (cfg.use_fused_knn and x.dtype == jnp.bfloat16
+                 and jax.default_backend() in ("tpu", "axon"))
+    if (training and x.dtype == jnp.bfloat16 and not fused_tpu
             and jax.default_backend() in ("tpu", "axon")):
         msg = (
-            "bfloat16 training of the classifier on a TPU backend uses the "
-            "straight conv+BN+k-max composition, which miscompiles to zero "
-            "gradients here (docs/kernels.md) — train in float32 on device.")
+            "bfloat16 training of the classifier with use_fused_knn=False "
+            "on a TPU backend uses the straight conv+BN+k-max composition, "
+            "which miscompiles to zero gradients here (docs/kernels.md) — "
+            "keep use_fused_knn=True or train in float32 on device.")
         if not cfg.allow_known_bad_bf16:
             raise ValueError(
                 msg + " (Set ClsConfig.allow_known_bad_bf16=True to run "
@@ -91,13 +104,21 @@ def apply_dgcnn_cls(
         warnings.warn(msg, stacklevel=2)
     kw = dict(training=training, bn_decay=bn_decay, eps=cfg.bn_eps)
 
-    ef = knn_ops.edge_feature_auto(x, x, cfg.k, use_fused=cfg.use_fused_knn)
-    transform, new_state["transform_net"] = apply_transform_net(
-        params["transform_net"], state["transform_net"], ef,
-        K=3, training=training, bn_decay=bn_decay, bn_eps=cfg.bn_eps,
-    )
-    x = jnp.einsum("bnc,bcd->bnd", x, transform,
-                   preferred_element_type=jnp.float32)
+    if fused_tpu:
+        transform, new_state["transform_net"] = apply_transform_net(
+            params["transform_net"], state["transform_net"], None,
+            K=3, training=training, bn_decay=bn_decay, bn_eps=cfg.bn_eps,
+            fused_graph=x, k=cfg.k, fast=cfg.knn_fast,
+        )
+    else:
+        ef = knn_ops.edge_feature_auto(x, x, cfg.k,
+                                       use_fused=cfg.use_fused_knn)
+        transform, new_state["transform_net"] = apply_transform_net(
+            params["transform_net"], state["transform_net"], ef,
+            K=3, training=training, bn_decay=bn_decay, bn_eps=cfg.bn_eps,
+        )
+    x = jnp.einsum("bnc,bcd->bnd", x, transform.astype(x.dtype),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
 
     knn_graph = (knn_ops.knn_graph_fused if cfg.use_fused_knn
                  else knn_ops.knn_graph)
@@ -105,15 +126,26 @@ def apply_dgcnn_cls(
     stage_outputs = []
     for i in range(len(cfg.edge_channels)):
         name = f"dgcnn{i + 1}"
-        h = knn_ops.edge_feature(feat, knn_graph(feat, cfg.k))
-        h, new_state[name] = layers.apply_conv(params[name], state[name], h, **kw)
-        feat = jnp.max(h, axis=2)  # [B, N, C]
+        if fused_tpu:
+            feat, new_state[name] = layers.apply_edge_conv_stage1_fused(
+                params[name], state[name], feat, feat, cfg.k,
+                fast=cfg.knn_fast, **kw)
+        else:
+            h = knn_ops.edge_feature(feat, knn_graph(feat, cfg.k))
+            h, new_state[name] = layers.apply_conv(params[name], state[name],
+                                                   h, **kw)
+            feat = jnp.max(h, axis=2)  # [B, N, C]
         stage_outputs.append(feat)
 
-    g, new_state["agg"] = layers.apply_conv(
-        params["agg"], state["agg"], jnp.concatenate(stage_outputs, -1), **kw
-    )
-    h = jnp.max(g, axis=1)  # [B, global]
+    concat = jnp.concatenate(stage_outputs, -1)
+    if fused_tpu:
+        h, new_state["agg"] = layers.apply_conv_bn_relu_nmax(
+            params["agg"], state["agg"], concat, **kw)
+    else:
+        g, new_state["agg"] = layers.apply_conv(
+            params["agg"], state["agg"], concat, **kw
+        )
+        h = jnp.max(g, axis=1)  # [B, global]
 
     if rng is None:
         rng = jax.random.PRNGKey(0)

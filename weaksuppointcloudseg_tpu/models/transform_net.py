@@ -70,8 +70,21 @@ def apply_transform_net(
         net, new_state["tconv2"] = layers.apply_conv(
             params["tconv2"], state["tconv2"], net, **kw)
         net = jnp.max(net, axis=2)  # max over k -> [B, N, 128]
-    net, new_state["tconv3"] = layers.apply_conv(params["tconv3"], state["tconv3"], net, **kw)
-    net = jnp.max(net, axis=1)  # max over N -> [B, 1024]
+    if fused_graph is not None:
+        # tconv3 + BN + relu + max over N as the fused nmax block. Besides
+        # keeping the [B, N, 1024] tensor out of HBM, this is a CORRECTNESS
+        # requirement on this backend: the straight bf16
+        # conv+BN+relu+max(axis=1) composition here compiles to a backward
+        # pass with identically-zero gradients for everything upstream of
+        # the N-max (measured on-device; the earlier minimal-repro matrix
+        # in docs/kernels.md found the 3-D axis=1 pattern safe in
+        # isolation, but inside the transform net it is not).
+        net, new_state["tconv3"] = layers.apply_conv_bn_relu_nmax(
+            params["tconv3"], state["tconv3"], net, **kw)
+    else:
+        net, new_state["tconv3"] = layers.apply_conv(
+            params["tconv3"], state["tconv3"], net, **kw)
+        net = jnp.max(net, axis=1)  # max over N -> [B, 1024]
     net, new_state["tfc1"] = layers.apply_conv(params["tfc1"], state["tfc1"], net, **kw)
     net, new_state["tfc2"] = layers.apply_conv(params["tfc2"], state["tfc2"], net, **kw)
     out = params["transform_out"]
