@@ -223,10 +223,14 @@ class TestDataParallel:
         assert np.isfinite(m["total"])
 
 
-def test_fused_bf16_multi_device_refused(shapenet_dir, monkeypatch):
-    """bf16 fused kernels x DP is unvalidated on multi-chip hardware (the
-    in-kernel BN moments vs the SPMD partitioner) — the trainer must refuse
-    it rather than risk silently-wrong cross-replica BN (train/loop.py)."""
+def test_fused_bf16_multi_device_routes_shardmap(shapenet_dir, monkeypatch):
+    """bf16 fused kernels x DP: the SPMD partitioner cannot split a
+    pallas_call over the sharded batch axis, so the trainer must route
+    that combination through the explicit shard_map step (train/loop.py;
+    the step itself is validated by tests/test_shardmap_dp.py). The fake
+    TPU backend is patched into loop only — the model still sees CPU and
+    takes the unfused path, so the epoch exercises the shard_map step's
+    collectives end-to-end."""
     import weaksuppointcloudseg_tpu.train.loop as loop_mod
 
     class _FakeTpuJax:
@@ -239,18 +243,10 @@ def test_fused_bf16_multi_device_refused(shapenet_dir, monkeypatch):
 
     monkeypatch.setattr(loop_mod, "jax", _FakeTpuJax())
     ds = shapenet.ShapeNetDataset(shapenet_dir)
-    cfg = configs.shapenet_config()
+    cfg = tiny_shapenet_cfg("Plain", batch_size=8)
     cfg = dataclasses.replace(
-        cfg,
-        model=dataclasses.replace(cfg.model, num_points=64, num_classes=12,
-                                  num_categories=4,
-                                  compute_dtype="bfloat16"),
-        train=dataclasses.replace(cfg.train, batch_size=4),
-    )
-    with pytest.raises(NotImplementedError, match="multi-device"):
-        ShapeNetTrainer(cfg, ds, None, num_devices=2)
-    # f32 multi-device (the supported mode) still constructs
-    cfg_f32 = dataclasses.replace(
-        cfg, model=dataclasses.replace(cfg.model, compute_dtype="float32"))
-    t = ShapeNetTrainer(cfg_f32, ds, None, num_devices=2)
+        cfg, model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"))
+    t = ShapeNetTrainer(cfg, ds, None, num_devices=8)
     assert t.mesh is not None
+    m = t.train_epoch()
+    assert np.isfinite(m["seg"])

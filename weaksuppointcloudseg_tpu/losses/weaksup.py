@@ -29,33 +29,48 @@ import weaksuppointcloudseg_tpu.ops.neighbors as knn_ops
 
 
 def masked_softmax_ce(logits: jax.Array, labels_onehot: jax.Array,
-                      mask: jax.Array) -> jax.Array:
+                      mask: jax.Array, *, axis_name=None) -> jax.Array:
     """sum(mask * CE) / sum(mask); CE over the last axis.
 
     Args:
       logits: [B, N, K].
       labels_onehot: [B, N, K] (float or int one-hot).
       mask: [B, N] float (1 = labelled point).
+      axis_name: shard_map data-parallel axis — numerator and denominator
+        become global psums, so every shard evaluates the GLOBAL-batch loss
+        (the per-shard mask sums differ, so a pmean of local losses would
+        not match the single-device value).
     """
     log_p = jax.nn.log_softmax(logits, axis=-1)
     ce = -jnp.sum(labels_onehot.astype(log_p.dtype) * log_p, axis=-1)  # [B, N]
+    num = jnp.sum(mask * ce)
     denom = jnp.sum(mask)
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        denom = jax.lax.psum(denom, axis_name)
     # Zero-mask safety: the reference divides by zero if a batch carries no
     # labelled point; clamp the denominator (loss is then 0, not NaN).
-    return jnp.sum(mask * ce) / jnp.maximum(denom, 1e-12)
+    return num / jnp.maximum(denom, 1e-12)
 
 
-def siamese_consistency(prob: jax.Array) -> jax.Array:
+def siamese_consistency(prob: jax.Array, *, axis_name=None) -> jax.Array:
     """Consistency between interleaved Siamese pairs.
 
     Args:
       prob: [2B, N, K] softmax outputs with pairs interleaved (even/odd).
+        Under a shard_map data-parallel axis the local batch must hold
+        whole pairs (parallel/mesh.py asserts this at shard time); equal
+        shard sizes make the pmean the exact global mean.
     """
     d = prob[0::2] - prob[1::2]  # [B, N, K]
-    return jnp.mean(jnp.sum(jnp.square(d), axis=-1))
+    loss = jnp.mean(jnp.sum(jnp.square(d), axis=-1))
+    if axis_name is not None:
+        loss = jax.lax.pmean(loss, axis_name)
+    return loss
 
 
-def mil_inexact(logits: jax.Array, labels_onehot: jax.Array) -> jax.Array:
+def mil_inexact(logits: jax.Array, labels_onehot: jax.Array, *,
+                axis_name=None) -> jax.Array:
     """Inexact supervision: sigmoid CE between per-class max logits and the
     set of classes present in each sample.
 
@@ -68,7 +83,10 @@ def mil_inexact(logits: jax.Array, labels_onehot: jax.Array) -> jax.Array:
     # Numerically stable sigmoid cross-entropy (tf.nn.sigmoid_cross_entropy).
     z, x = bag_labels, bag_logits
     loss = jnp.maximum(x, 0.0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x)))
-    return jnp.mean(loss)
+    loss = jnp.mean(loss)
+    if axis_name is not None:
+        loss = jax.lax.pmean(loss, axis_name)
+    return loss
 
 
 def smooth_knn_laplacian(
@@ -80,6 +98,7 @@ def smooth_knn_laplacian(
     channels: Optional[Tuple[int, int]] = None,
     fused_bf16: bool = False,
     fast: bool = False,
+    axis_name=None,
 ) -> jax.Array:
     """Spatial(-color) smoothness on the softmax output.
 
@@ -130,7 +149,10 @@ def smooth_knn_laplacian(
         s0 = jnp.sum(w, axis=-1)  # [B, N] sum of weights (grad-free)
         per_point = s0 * q - 2.0 * jnp.sum(prob * s1, axis=-1) + s2
         per_point = jnp.maximum(per_point, 0.0)
-        return jnp.mean(per_point) / (k * n_cls)
+        loss = jnp.mean(per_point) / (k * n_cls)
+        if axis_name is not None:
+            loss = jax.lax.pmean(loss, axis_name)
+        return loss
     if on_tpu:
         from weaksuppointcloudseg_tpu.ops.knn_pallas import knn_pallas
 
@@ -144,7 +166,10 @@ def smooth_knn_laplacian(
         w = jnp.exp(neg_topk / gamma)
     p_nbr = knn_ops.gather_neighbors(prob, idx)  # [B, N, k, K]
     diff2 = jnp.mean(jnp.square(prob[:, :, None, :] - p_nbr), axis=-1)  # [B, N, k]
-    return jnp.mean(w * diff2)
+    loss = jnp.mean(w * diff2)
+    if axis_name is not None:
+        loss = jax.lax.pmean(loss, axis_name)
+    return loss
 
 
 def total_weaksup_loss(

@@ -105,8 +105,16 @@ def apply_dgcnn_seg(
     bn_decay,
     rng: Optional[jax.Array] = None,
     head_bn_fixed_decay: Optional[float] = None,
+    axis_name=None,
 ) -> Tuple[jax.Array, dict]:
-    """Forward pass. Returns (logits [B, N, num_classes], new BN state)."""
+    """Forward pass. Returns (logits [B, N, num_classes], new BN state).
+
+    ``axis_name``: shard_map data-parallel axis name. When set, every BN
+    (XLA path and fused custom-VJP blocks alike) computes GLOBAL batch
+    moments via psum over the axis — the cross-replica-BN requirement of
+    SURVEY.md §2.3 for the fused path, where the SPMD partitioner cannot
+    see inside pallas_call (train/steps.py builds the shard_map step).
+    """
     new_state = dict(state)
     compute_dtype = jnp.dtype(cfg.compute_dtype)
     # ONE fused-path gate for the transform branch, the EdgeConv stages,
@@ -136,7 +144,8 @@ def apply_dgcnn_seg(
         import warnings
 
         warnings.warn(msg, stacklevel=2)
-    kw = dict(training=training, bn_decay=bn_decay, eps=cfg.bn_eps)
+    kw = dict(training=training, bn_decay=bn_decay, eps=cfg.bn_eps,
+              axis_name=axis_name)
     head_kw = dict(kw)
     if head_bn_fixed_decay is not None:
         head_kw["bn_decay"] = head_bn_fixed_decay
@@ -157,7 +166,7 @@ def apply_dgcnn_seg(
                 K=g.shape[-1], training=training, bn_decay=bn_decay,
                 bn_eps=cfg.bn_eps,
                 fused_graph=g.astype(compute_dtype), k=cfg.k,
-                fast=cfg.knn_fast,
+                fast=cfg.knn_fast, axis_name=axis_name,
             )
         else:
             ef = knn_ops.edge_feature_auto(
@@ -167,7 +176,7 @@ def apply_dgcnn_seg(
             transform, new_state["transform_net"] = apply_transform_net(
                 params["transform_net"], state["transform_net"], ef,
                 K=g.shape[-1], training=training, bn_decay=bn_decay,
-                bn_eps=cfg.bn_eps,
+                bn_eps=cfg.bn_eps, axis_name=axis_name,
             )
         x = jnp.einsum(
             "bnc,bcd->bnd", x, transform.astype(x.dtype),

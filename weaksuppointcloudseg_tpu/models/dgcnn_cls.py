@@ -76,6 +76,7 @@ def apply_dgcnn_cls(
     training: bool,
     bn_decay,
     rng: Optional[jax.Array] = None,
+    axis_name=None,  # shard_map DP axis: cross-replica BN (see dgcnn.py)
 ) -> Tuple[jax.Array, dict]:
     """Forward pass -> (logits [B, num_classes], new BN state)."""
     new_state = dict(state)
@@ -102,13 +103,15 @@ def apply_dgcnn_cls(
         import warnings
 
         warnings.warn(msg, stacklevel=2)
-    kw = dict(training=training, bn_decay=bn_decay, eps=cfg.bn_eps)
+    kw = dict(training=training, bn_decay=bn_decay, eps=cfg.bn_eps,
+              axis_name=axis_name)
 
     if fused_tpu:
         transform, new_state["transform_net"] = apply_transform_net(
             params["transform_net"], state["transform_net"], None,
             K=3, training=training, bn_decay=bn_decay, bn_eps=cfg.bn_eps,
             fused_graph=x, k=cfg.k, fast=cfg.knn_fast,
+            axis_name=axis_name,
         )
     else:
         ef = knn_ops.edge_feature_auto(x, x, cfg.k,
@@ -116,6 +119,7 @@ def apply_dgcnn_cls(
         transform, new_state["transform_net"] = apply_transform_net(
             params["transform_net"], state["transform_net"], ef,
             K=3, training=training, bn_decay=bn_decay, bn_eps=cfg.bn_eps,
+            axis_name=axis_name,
         )
     x = jnp.einsum("bnc,bcd->bnd", x, transform.astype(x.dtype),
                    preferred_element_type=jnp.float32).astype(x.dtype)

@@ -34,6 +34,25 @@ State = dict
 BN_EPS = 1e-3
 
 
+def _axis_size(axis_name) -> jax.Array:
+    """Number of shards along a shard_map axis (1 if axis_name is None)."""
+    return jax.lax.psum(1, axis_name)
+
+
+def _psum_moments(mom, r, axis_name):
+    """Cross-replica reduce the in-kernel per-shard moment sums.
+
+    Under a shard_map data-parallel step the Pallas kernels see only the
+    local batch shard, so their (Σy, Σy²) outputs are per-shard partials;
+    summing them (and scaling the element count) yields the GLOBAL batch
+    moments — the cross-replica-BN requirement of SURVEY.md §2.3 for the
+    fused path, where the SPMD partitioner cannot see inside pallas_call.
+    """
+    if axis_name is None:
+        return mom, r
+    return jax.lax.psum(mom, axis_name), r * _axis_size(axis_name)
+
+
 def xavier_uniform(key, in_c: int, out_c: int, dtype=jnp.float32) -> jax.Array:
     """Glorot-uniform matching tf.contrib.layers.xavier_initializer for a
     [1,1,in,out] conv kernel (fan_in=in_c, fan_out=out_c)."""
@@ -57,8 +76,13 @@ def init_conv(key, in_c: int, out_c: int, *, bn: bool = True) -> Tuple[Params, S
     return params, state
 
 
-def _batch_norm(x, params, state, *, training: bool, decay, eps: float = BN_EPS):
-    """Reference-semantics BN over all axes but the last. Returns (y, state)."""
+def _batch_norm(x, params, state, *, training: bool, decay, eps: float = BN_EPS,
+                axis_name=None):
+    """Reference-semantics BN over all axes but the last. Returns (y, state).
+
+    ``axis_name``: shard_map data-parallel axis — batch moments become
+    cross-replica means (exact for equal shard sizes); autodiff of the
+    pmean generates the matching backward collectives."""
     if training:
         x32 = x.astype(jnp.float32)
         axes = tuple(range(x.ndim - 1))
@@ -70,6 +94,9 @@ def _batch_norm(x, params, state, *, training: bool, decay, eps: float = BN_EPS)
         # well under the BN epsilon (1e-3) for activation-scale data.
         mean = jnp.mean(x32, axis=axes)
         mean_sq = jnp.mean(jnp.square(x32), axis=axes)
+        if axis_name is not None:
+            mean = jax.lax.pmean(mean, axis_name)
+            mean_sq = jax.lax.pmean(mean_sq, axis_name)
         var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
         new_state = {
             "mean": state["mean"] * decay + mean * (1.0 - decay),
@@ -93,6 +120,7 @@ def apply_conv(
     relu: bool = True,
     bn: bool = True,
     eps: float = BN_EPS,
+    axis_name=None,
 ) -> Tuple[jax.Array, State]:
     """conv (channel matmul) + bias [+ BN] [+ ReLU]. x: [..., in_c]."""
     w = params["w"].astype(x.dtype)
@@ -103,7 +131,8 @@ def apply_conv(
     y = y + params["b"]
     y = y.astype(x.dtype) if x.dtype != jnp.float32 else y
     if bn:
-        y, state = _batch_norm(y, params, state, training=training, decay=bn_decay, eps=eps)
+        y, state = _batch_norm(y, params, state, training=training,
+                               decay=bn_decay, eps=eps, axis_name=axis_name)
     if relu:
         y = jax.nn.relu(y)
     return y, state
@@ -118,6 +147,7 @@ def apply_conv_bcast(
     training: bool,
     bn_decay=None,
     eps: float = BN_EPS,
+    axis_name=None,
 ) -> Tuple[jax.Array, State]:
     """conv over concat([broadcast_N(x_bcast), x_point]) WITHOUT the concat.
 
@@ -143,7 +173,7 @@ def apply_conv_bcast(
     y = yg[:, None, :] + yp + params["b"]
     y = y.astype(x_point.dtype) if x_point.dtype != jnp.float32 else y
     y, state = _batch_norm(y, params, state, training=training,
-                           decay=bn_decay, eps=eps)
+                           decay=bn_decay, eps=eps, axis_name=axis_name)
     return jax.nn.relu(y), state
 
 
@@ -209,16 +239,18 @@ def apply_edge_conv(
     training: bool,
     bn_decay=None,
     eps: float = BN_EPS,
+    axis_name=None,
 ) -> Tuple[jax.Array, State]:
     """conv(concat([f_i, f_j - f_i])) + bias + BN + ReLU with the
     d_ef-free backward (see edge_conv_matmul)."""
     y = edge_conv_matmul(f, nbr, params["w"], params["b"])
     y, state = _batch_norm(y, params, state, training=training,
-                           decay=bn_decay, eps=eps)
+                           decay=bn_decay, eps=eps, axis_name=axis_name)
     return jax.nn.relu(y), state
 
 
-def _ecf_forward(k, eps, fast, interpret, w, b, gamma, beta, f, g_src):
+def _ecf_forward(k, eps, fast, interpret, axis_name, w, b, gamma, beta,
+                 f, g_src):
     """Primal math of the fused EdgeConv-conv1 + BN + ReLU block."""
     from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import _knn_edge_impl
 
@@ -227,6 +259,7 @@ def _ecf_forward(k, eps, fast, interpret, w, b, gamma, beta, f, g_src):
         jax.lax.stop_gradient(g_src), jax.lax.stop_gradient(v),
         jax.lax.stop_gradient(u), k, 256, interpret, fast)
     r = y.shape[0] * y.shape[1] * y.shape[2]
+    mom, r = _psum_moments(mom, r, axis_name)
     mean = mom[0] / r
     var = jnp.maximum(mom[1] / r - jnp.square(mean), 0.0)
     inv = jax.lax.rsqrt(var + eps)
@@ -235,9 +268,9 @@ def _ecf_forward(k, eps, fast, interpret, w, b, gamma, beta, f, g_src):
     return h, mean, var, idx, y, inv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _edge_conv_bn_relu_train(k, eps, fast, interpret, w, b, gamma, beta,
-                             f, g_src):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _edge_conv_bn_relu_train(k, eps, fast, interpret, axis_name, w, b,
+                             gamma, beta, f, g_src):
     """Training-mode fused EdgeConv first conv + batch norm + ReLU with a
     HAND-WRITTEN VJP.
 
@@ -261,18 +294,19 @@ def _edge_conv_bn_relu_train(k, eps, fast, interpret, w, b, gamma, beta,
     update — their cotangents are ignored.
     """
     h, mean, var, _, _, _ = _ecf_forward(
-        k, eps, fast, interpret, w, b, gamma, beta, f, g_src)
+        k, eps, fast, interpret, axis_name, w, b, gamma, beta, f, g_src)
     return h, mean, var
 
 
-def _ecf_fwd(k, eps, fast, interpret, w, b, gamma, beta, f, g_src):
+def _ecf_fwd(k, eps, fast, interpret, axis_name, w, b, gamma, beta, f,
+             g_src):
     h, mean, var, idx, y, inv = _ecf_forward(
-        k, eps, fast, interpret, w, b, gamma, beta, f, g_src)
+        k, eps, fast, interpret, axis_name, w, b, gamma, beta, f, g_src)
     res = (idx, y, h, mean, inv, w, gamma, f, jnp.zeros_like(g_src))
     return (h, mean, var), res
 
 
-def _ecf_bwd(k, eps, fast, interpret, res, cts):
+def _ecf_bwd(k, eps, fast, interpret, axis_name, res, cts):
     idx, y, h, mean, inv, w, gamma, f, g_zeros = res
     dh = cts[0]  # mean/var feed only the state update: zero cotangents
     r = y.shape[0] * y.shape[1] * y.shape[2]
@@ -280,9 +314,15 @@ def _ecf_bwd(k, eps, fast, interpret, res, cts):
     y32 = y.astype(jnp.float32)
     xhat = (y32 - mean) * inv
     dz = dh.astype(jnp.float32) * (h > 0)
-    a1 = jnp.sum(dz, axis=(0, 1, 2))          # = dbeta
-    a2 = jnp.sum(dz * xhat, axis=(0, 1, 2))   # = dgamma
-    dy = ((inv * gamma) * (dz - a1 / r - xhat * (a2 / r))).astype(y.dtype)
+    a1 = jnp.sum(dz, axis=(0, 1, 2))          # = dbeta (local partial)
+    a2 = jnp.sum(dz * xhat, axis=(0, 1, 2))   # = dgamma (local partial)
+    a1g, a2g, rg = a1, a2, r
+    if axis_name is not None:  # global corrections (forward used global BN)
+        a1g = jax.lax.psum(a1, axis_name)
+        a2g = jax.lax.psum(a2, axis_name)
+        rg = r * _axis_size(axis_name)
+    dy = ((inv * gamma) * (dz - a1g / rg
+                           - xhat * (a2g / rg))).astype(y.dtype)
 
     du = jnp.sum(dy.astype(jnp.float32), axis=2)  # [B, N, C] f32
     b_, n_, _ = f.shape
@@ -316,6 +356,7 @@ def apply_edge_conv_knn_fused(
     eps: float = BN_EPS,
     fast: bool = False,
     interpret: bool = False,
+    axis_name=None,
 ) -> Tuple[jax.Array, State]:
     """EdgeConv front half + first conv + BN + ReLU, with the kNN graph,
     gather AND conv fused into one Pallas kernel (TPU bf16 path).
@@ -330,7 +371,7 @@ def apply_edge_conv_knn_fused(
     """
     if training:
         h, mean, var = _edge_conv_bn_relu_train(
-            k, eps, fast, interpret, params["w"], params["b"],
+            k, eps, fast, interpret, axis_name, params["w"], params["b"],
             params["gamma"], params["beta"], f, g_src)
         new_state = {
             "mean": state["mean"] * bn_decay + mean * (1.0 - bn_decay),
@@ -357,6 +398,7 @@ def apply_edge_conv_first(
     training: bool,
     bn_decay=None,
     eps: float = BN_EPS,
+    axis_name=None,
 ) -> Tuple[jax.Array, State]:
     """First conv of an EdgeConv stage without materializing edge features.
 
@@ -381,7 +423,7 @@ def apply_edge_conv_first(
     v_nbr = gather_neighbors(v, idx)  # [B, N, k, C_out]
     y = u[:, :, None, :] + v_nbr
     y, state = _batch_norm(y, params, state, training=training,
-                           decay=bn_decay, eps=eps)
+                           decay=bn_decay, eps=eps, axis_name=axis_name)
     return jax.nn.relu(y), state
 
 
@@ -400,7 +442,8 @@ def _minmax_select(ymax, amax, ymin, amin, s):
     return ysel, asel
 
 
-def _bn_bwd_from_extrema(dout, ysel, mean, inv, gamma, beta, r):
+def _bn_bwd_from_extrema(dout, ysel, mean, inv, gamma, beta, r,
+                         axis_name=None):
     """Shared BN backward evaluated on the max-selected extrema.
 
     With dz supported on the selected positions only, the BN backward
@@ -418,15 +461,25 @@ def _bn_bwd_from_extrema(dout, ysel, mean, inv, gamma, beta, r):
     axes = tuple(range(dz.ndim - 1))
     a1 = jnp.sum(dz, axis=axes)
     a2 = jnp.sum(dz * xhat, axis=axes)
+    # Under shard_map DP the affine corrections need the GLOBAL reduces /
+    # element count (the forward normalized with global moments); the
+    # returned a1/a2 (dbeta/dgamma) and db stay LOCAL partials — the
+    # step-level gradient psum turns them into the exact global sums
+    # (Σ_shards [r_loc*A + Bv*r_loc*mean] = r_glob*A + Bv*Σy_glob).
+    a1g, a2g, rg = a1, a2, r
+    if axis_name is not None:
+        a1g = jax.lax.psum(a1, axis_name)
+        a2g = jax.lax.psum(a2, axis_name)
+        rg = r * _axis_size(axis_name)
     q = s * dz
-    A = (-s * a1 + s * inv * a2 * mean) / r
-    Bv = -s * inv * a2 / r
+    A = (-s * a1g + s * inv * a2g * mean) / rg
+    Bv = -s * inv * a2g / rg
     db = jnp.sum(q, axis=axes) + r * A + Bv * (r * mean)
     return q, A, Bv, a1, a2, db
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _conv_bn_kmax_train(eps, interpret, w, b, gamma, beta, h):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _conv_bn_kmax_train(eps, interpret, axis_name, w, b, gamma, beta, h):
     """Training-mode conv + batch norm + ReLU + k-max, fused.
 
     Forward runs the minmax Pallas kernel (ops/conv_kmax_pallas.py): the
@@ -462,11 +515,11 @@ def _conv_bn_kmax_train(eps, interpret, w, b, gamma, beta, h):
     (undifferentiated) BN state update.
     """
     out, mean, var, _, _ = _conv_bn_kmax_fwd_math(
-        eps, interpret, w, b, gamma, beta, h)
+        eps, interpret, axis_name, w, b, gamma, beta, h)
     return out, mean, var
 
 
-def _conv_bn_kmax_fwd_math(eps, interpret, w, b, gamma, beta, h):
+def _conv_bn_kmax_fwd_math(eps, interpret, axis_name, w, b, gamma, beta, h):
     from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
         conv_minmax_pallas,
     )
@@ -475,6 +528,7 @@ def _conv_bn_kmax_fwd_math(eps, interpret, w, b, gamma, beta, h):
         jax.lax.stop_gradient(h), jax.lax.stop_gradient(w).astype(h.dtype),
         jax.lax.stop_gradient(b), interpret=interpret)
     r = h.shape[0] * h.shape[1] * h.shape[2]
+    mom, r = _psum_moments(mom, r, axis_name)
     mean = mom[0] / r
     var = jnp.maximum(mom[1] / r - jnp.square(mean), 0.0)
     s, t, inv = _bn_affine(mean, var, gamma, beta, eps)
@@ -484,20 +538,20 @@ def _conv_bn_kmax_fwd_math(eps, interpret, w, b, gamma, beta, h):
     return out, mean, var, (ysel, asel, inv), z
 
 
-def _cbk_fwd(eps, interpret, w, b, gamma, beta, h):
+def _cbk_fwd(eps, interpret, axis_name, w, b, gamma, beta, h):
     out, mean, var, (ysel, asel, inv), _ = _conv_bn_kmax_fwd_math(
-        eps, interpret, w, b, gamma, beta, h)
+        eps, interpret, axis_name, w, b, gamma, beta, h)
     res = (h, ysel, asel, mean, inv, w, b, gamma, beta)
     return (out, mean, var), res
 
 
-def _cbk_bwd(eps, interpret, res, cts):
+def _cbk_bwd(eps, interpret, axis_name, res, cts):
     h, ysel, asel, mean, inv, w, b, gamma, beta = res
     dout = cts[0].astype(jnp.float32)  # mean/var feed only the state update
     b_, n_, k_, _ = h.shape
     r = b_ * n_ * k_
     q, A, Bv, a1, a2, db = _bn_bwd_from_extrema(
-        dout, ysel, mean, inv, gamma, beta, r)
+        dout, ysel, mean, inv, gamma, beta, r, axis_name)
 
     w32 = w.astype(jnp.float32)
     M = (w32 * Bv[None, :]) @ w32.T                              # [C1,C1]
@@ -543,9 +597,9 @@ def _stage_consts(gamma, beta, mom, r, eps):
     return mean, var, s, t, inv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _edge_conv_stage_train(k, eps, fast, interpret, w1, b1, gamma1, beta1,
-                           w2, b2, gamma2, beta2, f, g_src):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _edge_conv_stage_train(k, eps, fast, interpret, axis_name, w1, b1,
+                           gamma1, beta1, w2, b2, gamma2, beta2, f, g_src):
     """A WHOLE two-conv EdgeConv stage (kNN + conv1 + BN + relu + conv2 +
     BN + relu + k-max) as two Pallas kernels and [B, N, C]-sized glue.
 
@@ -570,13 +624,13 @@ def _edge_conv_stage_train(k, eps, fast, interpret, w1, b1, gamma1, beta1,
     outputs feed the (undifferentiated) BN state updates.
     """
     outs, _ = _stage_fwd_math(
-        k, eps, fast, interpret, w1, b1, gamma1, beta1, w2, b2, gamma2,
-        beta2, f, g_src)
+        k, eps, fast, interpret, axis_name, w1, b1, gamma1, beta1, w2, b2,
+        gamma2, beta2, f, g_src)
     return outs
 
 
-def _stage_fwd_math(k, eps, fast, interpret, w1, b1, gamma1, beta1, w2, b2,
-                    gamma2, beta2, f, g_src):
+def _stage_fwd_math(k, eps, fast, interpret, axis_name, w1, b1, gamma1,
+                    beta1, w2, b2, gamma2, beta2, f, g_src):
     from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
         conv_minmax_pallas,
     )
@@ -587,11 +641,13 @@ def _stage_fwd_math(k, eps, fast, interpret, w1, b1, gamma1, beta1, w2, b2,
         jax.lax.stop_gradient(g_src), jax.lax.stop_gradient(v),
         jax.lax.stop_gradient(u), k, 256, interpret, fast)
     r = y1.shape[0] * y1.shape[1] * y1.shape[2]
-    mean1, var1, s1, t1, inv1 = _stage_consts(gamma1, beta1, mom1, r, eps)
+    mom1, rg = _psum_moments(mom1, r, axis_name)
+    mean1, var1, s1, t1, inv1 = _stage_consts(gamma1, beta1, mom1, rg, eps)
     ymax, amax, ymin, amin, mom2 = conv_minmax_pallas(
         y1, jax.lax.stop_gradient(w2).astype(f.dtype),
         jax.lax.stop_gradient(b2), s1, t1, interpret=interpret)
-    mean2, var2, s2, t2, inv2 = _stage_consts(gamma2, beta2, mom2, r, eps)
+    mom2, _ = _psum_moments(mom2, r, axis_name)
+    mean2, var2, s2, t2, inv2 = _stage_consts(gamma2, beta2, mom2, rg, eps)
     ysel, asel = _minmax_select(ymax, amax, ymin, amin, s2)
     z = ysel.astype(jnp.float32) * s2 + t2
     out = jax.nn.relu(z).astype(f.dtype)
@@ -599,18 +655,18 @@ def _stage_fwd_math(k, eps, fast, interpret, w1, b1, gamma1, beta1, w2, b2,
             (idx, y1, ysel, asel, mean1, inv1, mean2, inv2))
 
 
-def _stage_fwd(k, eps, fast, interpret, w1, b1, gamma1, beta1, w2, b2,
-               gamma2, beta2, f, g_src):
+def _stage_fwd(k, eps, fast, interpret, axis_name, w1, b1, gamma1, beta1,
+               w2, b2, gamma2, beta2, f, g_src):
     outs, (idx, y1, ysel, asel, mean1, inv1, mean2, inv2) = _stage_fwd_math(
-        k, eps, fast, interpret, w1, b1, gamma1, beta1, w2, b2, gamma2,
-        beta2, f, g_src)
+        k, eps, fast, interpret, axis_name, w1, b1, gamma1, beta1, w2, b2,
+        gamma2, beta2, f, g_src)
     res = (idx, y1, ysel, asel, mean1, inv1, mean2, inv2,
            w1, b1, gamma1, beta1, w2, b2, gamma2, beta2, f,
            jnp.zeros_like(g_src))
     return outs, res
 
 
-def _stage_bwd(k, eps, fast, interpret, res, cts):
+def _stage_bwd(k, eps, fast, interpret, axis_name, res, cts):
     from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
         conv_kmax_bwd_pallas,
     )
@@ -623,7 +679,7 @@ def _stage_bwd(k, eps, fast, interpret, res, cts):
 
     # --- conv2 BN backward from [B, N, C2] smalls ---
     q, A, Bv, a1, a2, db2 = _bn_bwd_from_extrema(
-        dout, ysel, mean2, inv2, gamma2, beta2, r)
+        dout, ysel, mean2, inv2, gamma2, beta2, r, axis_name)
 
     w232 = w2.astype(jnp.float32)
     M = (w232 * Bv[None, :]) @ w232.T
@@ -642,8 +698,13 @@ def _stage_bwd(k, eps, fast, interpret, res, cts):
     # --- BN1 backward + du + scatter in ONE pass over (y1, dz1):
     # dy1 = s1*dz1 + alpha1 + beta1v*y1 (the moment corrections are
     # affine in y1), assembled in VMEM by the scatter kernel
-    alpha1 = s1 * (-a1p / r + (a2p / r) * inv1 * mean1)
-    beta1v = -s1 * (a2p / r) * inv1
+    a1pg, a2pg, rg = a1p, a2p, r
+    if axis_name is not None:  # global BN1 corrections; a1p/a2p stay local
+        a1pg = jax.lax.psum(a1p, axis_name)
+        a2pg = jax.lax.psum(a2p, axis_name)
+        rg = r * _axis_size(axis_name)
+    alpha1 = s1 * (-a1pg / rg + (a2pg / rg) * inv1 * mean1)
+    beta1v = -s1 * (a2pg / rg) * inv1
     if not interpret and jax.default_backend() in ("tpu", "axon"):
         from weaksuppointcloudseg_tpu.ops.scatter_pallas import (
             scatter_bn_bwd_pallas,
@@ -682,13 +743,14 @@ def apply_edge_conv_stage_fused(
     eps: float = BN_EPS,
     fast: bool = False,
     interpret: bool = False,
+    axis_name=None,
 ) -> Tuple[jax.Array, State, State]:
     """Whole fused EdgeConv stage: kNN + conv1+BN+relu + conv2+BN+relu +
     k-max (reference DGCNN_ShapeNet.py:32-62 per stage). Returns
     ([B, N, C2] stage output, new BN state 1, new BN state 2)."""
     if training:
         out, mean1, var1, mean2, var2 = _edge_conv_stage_train(
-            k, eps, fast, interpret, params1["w"], params1["b"],
+            k, eps, fast, interpret, axis_name, params1["w"], params1["b"],
             params1["gamma"], params1["beta"], params2["w"], params2["b"],
             params2["gamma"], params2["beta"], f, g_src)
         d = bn_decay
@@ -750,9 +812,9 @@ def _uv_grads(w1, f, du, dv):
     return df, dw1, db1
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _edge_conv_stage1_train(k, eps, fast, interpret, w1, b1, gamma1, beta1,
-                            f, g_src):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _edge_conv_stage1_train(k, eps, fast, interpret, axis_name, w1, b1,
+                            gamma1, beta1, f, g_src):
     """Single-conv EdgeConv stage (kNN + conv + BN + relu + k-max) with
     the k-extrema emitted BY the kNN kernel: _knn_edge_impl's minmax
     outputs track the per-channel running max/min of y as each selection
@@ -762,12 +824,12 @@ def _edge_conv_stage1_train(k, eps, fast, interpret, w1, b1, gamma1, beta1,
     the fold-in scatter (scatter_bn_bwd_pallas sparse mode), reading y1
     once. Reference: third EdgeConv stage, DGCNN_ShapeNet.py:66-78."""
     outs, _ = _stage1_fwd_math(
-        k, eps, fast, interpret, w1, b1, gamma1, beta1, f, g_src)
+        k, eps, fast, interpret, axis_name, w1, b1, gamma1, beta1, f, g_src)
     return outs
 
 
-def _stage1_fwd_math(k, eps, fast, interpret, w1, b1, gamma1, beta1, f,
-                     g_src):
+def _stage1_fwd_math(k, eps, fast, interpret, axis_name, w1, b1, gamma1,
+                     beta1, f, g_src):
     from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import _knn_edge_impl
 
     u, v = _uv_factor(w1, b1, f)
@@ -776,6 +838,7 @@ def _stage1_fwd_math(k, eps, fast, interpret, w1, b1, gamma1, beta1, f,
         jax.lax.stop_gradient(u), k, 256, interpret, fast,
         with_minmax=True)
     r = y1.shape[0] * y1.shape[1] * y1.shape[2]
+    mom, r = _psum_moments(mom, r, axis_name)
     mean, var, s, t, inv = _stage_consts(gamma1, beta1, mom, r, eps)
     ysel, asel = _minmax_select(ymax, amax, ymin, amin, s)
     z = ysel.astype(jnp.float32) * s + t
@@ -783,22 +846,23 @@ def _stage1_fwd_math(k, eps, fast, interpret, w1, b1, gamma1, beta1, f,
     return (out, mean, var), (idx, y1, ysel, asel, mean, inv)
 
 
-def _stage1_fwd(k, eps, fast, interpret, w1, b1, gamma1, beta1, f, g_src):
+def _stage1_fwd(k, eps, fast, interpret, axis_name, w1, b1, gamma1, beta1,
+                f, g_src):
     outs, (idx, y1, ysel, asel, mean, inv) = _stage1_fwd_math(
-        k, eps, fast, interpret, w1, b1, gamma1, beta1, f, g_src)
+        k, eps, fast, interpret, axis_name, w1, b1, gamma1, beta1, f, g_src)
     res = (idx, y1, ysel, asel, mean, inv, w1, b1, gamma1, beta1, f,
            jnp.zeros_like(g_src))
     return outs, res
 
 
-def _stage1_bwd(k, eps, fast, interpret, res, cts):
+def _stage1_bwd(k, eps, fast, interpret, axis_name, res, cts):
     idx, y1, ysel, asel, mean, inv, w1, b1, gamma1, beta1, f, g_zeros = res
     dout = cts[0].astype(jnp.float32)
     b_, n_, k_, _ = y1.shape
     r = b_ * n_ * k_
 
     q, alpha, beta_v, a1, a2, _ = _bn_bwd_from_extrema(
-        dout, ysel, mean, inv, gamma1, beta1, r)
+        dout, ysel, mean, inv, gamma1, beta1, r, axis_name)
 
     if not interpret and jax.default_backend() in ("tpu", "axon"):
         from weaksuppointcloudseg_tpu.ops.scatter_pallas import (
@@ -838,12 +902,13 @@ def apply_edge_conv_stage1_fused(
     eps: float = BN_EPS,
     fast: bool = False,
     interpret: bool = False,
+    axis_name=None,
 ) -> Tuple[jax.Array, State]:
     """Whole single-conv EdgeConv stage incl. k-max (reference
     DGCNN_ShapeNet.py:66-78). Returns ([B, N, C] output, new BN state)."""
     if training:
         out, mean, var = _edge_conv_stage1_train(
-            k, eps, fast, interpret, params["w"], params["b"],
+            k, eps, fast, interpret, axis_name, params["w"], params["b"],
             params["gamma"], params["beta"], f, g_src)
         new_state = {
             "mean": state["mean"] * bn_decay + mean * (1.0 - bn_decay),
@@ -872,14 +937,15 @@ def apply_conv_bn_relu_kmax(
     bn_decay=None,
     eps: float = BN_EPS,
     interpret: bool = False,
+    axis_name=None,
 ) -> Tuple[jax.Array, State]:
     """Second EdgeConv conv + BN + ReLU + max-over-k as one fused block
     (reference: tf_util.py:115-173 conv2d then reduce_max at
     DGCNN_ShapeNet.py:46/62). Returns ([B, N, C2], new BN state)."""
     if training:
         out, mean, var = _conv_bn_kmax_train(
-            eps, interpret, params["w"], params["b"], params["gamma"],
-            params["beta"], h)
+            eps, interpret, axis_name, params["w"], params["b"],
+            params["gamma"], params["beta"], h)
         new_state = {
             "mean": state["mean"] * bn_decay + mean * (1.0 - bn_decay),
             "var": state["var"] * bn_decay + var * (1.0 - bn_decay),
@@ -899,8 +965,8 @@ def apply_conv_bn_relu_kmax(
     return jax.nn.relu(z).astype(h.dtype), state
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _conv_bn_nmax_train(eps, interpret, w, b, gamma, beta, h):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _conv_bn_nmax_train(eps, interpret, axis_name, w, b, gamma, beta, h):
     """Training-mode global-aggregation conv + BN + relu + max over the
     POINT axis, fused (the DGCNN_ShapeNet.py:80-85 block). Same
     monotone-affine minmax argument as _conv_bn_kmax_train, but since h
@@ -908,11 +974,12 @@ def _conv_bn_nmax_train(eps, interpret, w, b, gamma, beta, h):
     and uses direct matmuls for dW/dh — no Gram identities and no
     [B, N, C2] tensor in HBM in either direction
     (ops/conv_kmax_pallas.py::conv_nmax_*)."""
-    out, mean, var, _ = _cbn_fwd_math(eps, interpret, w, b, gamma, beta, h)
+    out, mean, var, _ = _cbn_fwd_math(
+        eps, interpret, axis_name, w, b, gamma, beta, h)
     return out, mean, var
 
 
-def _cbn_fwd_math(eps, interpret, w, b, gamma, beta, h):
+def _cbn_fwd_math(eps, interpret, axis_name, w, b, gamma, beta, h):
     from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
         conv_nmax_pallas,
     )
@@ -921,6 +988,7 @@ def _cbn_fwd_math(eps, interpret, w, b, gamma, beta, h):
         jax.lax.stop_gradient(h), jax.lax.stop_gradient(w).astype(h.dtype),
         jax.lax.stop_gradient(b), interpret=interpret)
     r = h.shape[0] * h.shape[1]
+    mom, r = _psum_moments(mom, r, axis_name)
     mean = mom[0] / r
     var = jnp.maximum(mom[1] / r - jnp.square(mean), 0.0)
     s, t, inv = _bn_affine(mean, var, gamma, beta, eps)
@@ -930,21 +998,21 @@ def _cbn_fwd_math(eps, interpret, w, b, gamma, beta, h):
     return out, mean, var, (ysel, asel, inv)
 
 
-def _cbn_fwd(eps, interpret, w, b, gamma, beta, h):
+def _cbn_fwd(eps, interpret, axis_name, w, b, gamma, beta, h):
     out, mean, var, (ysel, asel, inv) = _cbn_fwd_math(
-        eps, interpret, w, b, gamma, beta, h)
+        eps, interpret, axis_name, w, b, gamma, beta, h)
     res = (h, ysel, asel, mean, inv, w, b, gamma, beta)
     return (out, mean, var), res
 
 
-def _cbn_bwd(eps, interpret, res, cts):
+def _cbn_bwd(eps, interpret, axis_name, res, cts):
     h, ysel, asel, mean, inv, w, b, gamma, beta = res
     dout = cts[0].astype(jnp.float32)
     r = h.shape[0] * h.shape[1]
 
     # db comes from the kernel (numeric Σdy), not the algebraic form
     q, alpha, betav, a1, a2, _ = _bn_bwd_from_extrema(
-        dout, ysel, mean, inv, gamma, beta, r)
+        dout, ysel, mean, inv, gamma, beta, r, axis_name)
 
     if not interpret and jax.default_backend() in ("tpu", "axon"):
         from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
@@ -982,13 +1050,14 @@ def apply_conv_bn_relu_nmax(
     bn_decay=None,
     eps: float = BN_EPS,
     interpret: bool = False,
+    axis_name=None,
 ) -> Tuple[jax.Array, State]:
     """Global-aggregation conv + BN + relu + max over N as one fused
     block. Returns ([B, C2] global feature, new BN state)."""
     if training:
         out, mean, var = _conv_bn_nmax_train(
-            eps, interpret, params["w"], params["b"], params["gamma"],
-            params["beta"], h)
+            eps, interpret, axis_name, params["w"], params["b"],
+            params["gamma"], params["beta"], h)
         new_state = {
             "mean": state["mean"] * bn_decay + mean * (1.0 - bn_decay),
             "var": state["var"] * bn_decay + var * (1.0 - bn_decay),

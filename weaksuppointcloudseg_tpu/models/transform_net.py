@@ -48,9 +48,11 @@ def apply_transform_net(
     fused_graph: jax.Array = None,  # [B, N, C] graph coords for the fused path
     k: int = 20,
     fast: bool = False,
+    axis_name=None,  # shard_map DP axis: cross-replica BN moments
 ) -> Tuple[jax.Array, dict]:
     new_state = {}
-    kw = dict(training=training, bn_decay=bn_decay, eps=bn_eps)
+    kw = dict(training=training, bn_decay=bn_decay, eps=bn_eps,
+              axis_name=axis_name)
     if fused_graph is not None:
         # tconv1 + tconv2 + k-max as one merged minmax stage (the same
         # block the EdgeConv stages use): neither the edge tensor nor the

@@ -22,11 +22,15 @@ Siamese pairs are interleaved along the batch axis; batch shards therefore
 keep each (sample, augmented-sample) pair on one device as long as the
 per-device batch is even — asserted in ``shard_batch``.
 
-Fused-kernel caveat: the bf16 fused Pallas path computes BN batch moments
-*inside* kernels; SPMD partitioning of a ``pallas_call`` over the sharded
-batch axis is exercised by tests/test_train.py (DP equivalence) only for the
-XLA path — fused bf16 configs are validated on a real multi-device mesh by
-the TPU-gated suite; see models/dgcnn.py.
+Fused-kernel path: the bf16 fused Pallas blocks compute BN batch moments
+*inside* kernels, which the SPMD partitioner cannot split over the sharded
+batch axis — so fused x multi-device runs through an explicit ``shard_map``
+step instead (train/steps.py ``make_train_step(..., mesh=...)``): the
+blocks psum their in-kernel moment sums over the mesh axis
+(models/layers.py::_psum_moments) and per-shard gradients reduce across
+shards. Validated leaf-for-leaf against the single-device step by
+tests/test_shardmap_dp.py (interpret-mode kernels on the 8-virtual-device
+CPU mesh).
 """
 
 from __future__ import annotations

@@ -55,28 +55,25 @@ class _TrainerBase:
         self.style = cfg.train.style
         self.rampup = cfg.train.rampup
         self.mesh = make_mesh(num_devices) if (num_devices or 0) > 1 else None
-        if (self.mesh is not None
-                and jnp.dtype(cfg.model.compute_dtype) == jnp.bfloat16
-                and cfg.model.use_fused_knn
-                and jax.default_backend() in ("tpu", "axon")):
-            # The fused bf16 Pallas blocks compute BN batch moments
-            # in-kernel; how XLA's SPMD partitioner treats those
-            # pallas_calls over a sharded batch axis has NOT been validated
-            # on multi-chip hardware (single real chip here). Refuse rather
-            # than risk silently-wrong cross-replica BN — multi-device
-            # training uses float32 (whose XLA path the DP equivalence
-            # test covers) until the fused x DP interaction is validated.
-            raise NotImplementedError(
-                "bf16 fused-kernel training on a multi-device mesh is not "
-                "validated (in-kernel BN moments vs the SPMD partitioner); "
-                "use compute_dtype='float32' for --num_devices > 1, or "
-                "bf16 fused on a single chip.")
+        # The fused bf16 Pallas blocks compute BN batch moments in-kernel;
+        # the SPMD partitioner cannot split a pallas_call over the sharded
+        # batch axis, so fused x multi-device routes through the explicit
+        # shard_map step (train/steps.py): the kernels' moment sums are
+        # psum'd over the mesh axis (cross-replica BN), losses reduce
+        # globally, and per-shard partial grads are psum'd. f32 configs
+        # keep the XLA-partitioner jit step (the DP equivalence test's
+        # path), whose dropout masks match the single-device run exactly.
+        step_mesh = self.mesh if (
+            self.mesh is not None
+            and jnp.dtype(cfg.model.compute_dtype) == jnp.bfloat16
+            and cfg.model.use_fused_knn
+            and jax.default_backend() in ("tpu", "axon")) else None
         key = jax.random.PRNGKey(seed)
         self.state = create_train_state(key, cfg)
         if self.mesh is not None:
             self.state = replicate(self.state, self.mesh)
-        self.train_step = make_train_step(cfg)
-        self.eval_step = make_eval_step(cfg)
+        self.train_step = make_train_step(cfg, mesh=step_mesh)
+        self.eval_step = make_eval_step(cfg, mesh=step_mesh)
         self.forward = make_forward_fn(cfg)
         self.np_rng = np.random.default_rng(seed)
         self.ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None

@@ -13,14 +13,20 @@ Design notes:
   available via ``WeakSupConfig.compat_frozen_gate``).
 - The LR / BN-decay staircase schedules are computed *inside* the step from
   the step counter (ops/schedules.py) — no host round-trip.
-- Batches arrive sharded over the mesh batch axis (parallel/mesh.py); the
-  mean-reductions in the losses and BN moments span the sharded axis, so
-  XLA's partitioner inserts the psum collectives (data-parallel gradient
-  all-reduce + cross-replica BN) automatically. This holds for the XLA
-  (f32 / non-fused) path, which is what the DP equivalence test covers;
-  the bf16 fused-kernel path computes BN moments inside pallas_calls whose
-  SPMD partitioning is NOT validated on multi-chip hardware — the trainer
-  refuses that combination (train/loop.py), f32 is the multi-device mode.
+- Batches arrive sharded over the mesh batch axis (parallel/mesh.py). Two
+  data-parallel modes:
+  (a) XLA-partitioner (f32 / non-fused): the loss / BN mean-reductions
+      span the sharded axis, so the compiler inserts the psum collectives
+      (gradient all-reduce + cross-replica BN) automatically — covered by
+      the DP equivalence test;
+  (b) explicit shard_map (``make_train_step(..., mesh=...)``): required
+      for the bf16 fused-kernel path, whose BN moments accumulate inside
+      pallas_calls the partitioner cannot split over the batch axis. The
+      fused blocks psum their in-kernel moment sums over ``axis_name``
+      (models/layers.py::_psum_moments), losses/metrics reduce globally,
+      and per-shard partial grads are psum'd — validated against the
+      single-device step by tests/test_train.py and the interpret-mode
+      shard_map kernel tests in tests/test_layers.py.
 - ``state`` buffers are donated — params/optimizer state update in place in
   HBM.
 """
@@ -32,6 +38,8 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
 
 from weaksuppointcloudseg_tpu.configs import ExperimentConfig
 from weaksuppointcloudseg_tpu.losses.weaksup import (
@@ -51,29 +59,35 @@ from weaksuppointcloudseg_tpu.train.state import TrainState
 def make_forward_fn(cfg: ExperimentConfig) -> Callable:
     """Raw forward pass closure over the static model config."""
 
-    def forward(params, bn_state, x, cat_onehot, *, training, bn_decay, rng):
+    def forward(params, bn_state, x, cat_onehot, *, training, bn_decay, rng,
+                axis_name=None):
         return apply_dgcnn_seg(
             params, bn_state, x, cat_onehot,
             cfg=cfg.model, training=training, bn_decay=bn_decay, rng=rng,
             head_bn_fixed_decay=cfg.model.head_bn_fixed_decay,
+            axis_name=axis_name,
         )
 
     return forward
 
 
-def _loss_fn(params, bn_state, batch, *, cfg, style, bn_decay, gate, rng):
+def _loss_fn(params, bn_state, batch, *, cfg, style, bn_decay, gate, rng,
+             axis_name=None):
     forward = make_forward_fn(cfg)
     logits, new_bn_state = forward(
         params, bn_state, batch["data"], batch.get("cat_onehot"),
-        training=True, bn_decay=bn_decay, rng=rng,
+        training=True, bn_decay=bn_decay, rng=rng, axis_name=axis_name,
     )
-    loss_seg = masked_softmax_ce(logits, batch["seg_onehot"], batch["mask"])
+    loss_seg = masked_softmax_ce(logits, batch["seg_onehot"], batch["mask"],
+                                 axis_name=axis_name)
     components = {"seg": loss_seg}
     if style == "Full":
         prob = jax.nn.softmax(logits, axis=-1)
         w = cfg.weaksup
-        loss_siam = w.siamese_weight * siamese_consistency(prob)
-        loss_mil = mil_inexact(logits, batch["seg_onehot"])
+        loss_siam = w.siamese_weight * siamese_consistency(
+            prob, axis_name=axis_name)
+        loss_mil = mil_inexact(logits, batch["seg_onehot"],
+                               axis_name=axis_name)
         loss_smooth = smooth_knn_laplacian(
             prob, batch["data"], gamma=w.smooth_gamma, k=w.smooth_knn,
             channels=w.smooth_channels,
@@ -83,6 +97,7 @@ def _loss_fn(params, bn_state, batch, *, cfg, style, bn_decay, gate, rng):
             fused_bf16=(cfg.model.use_fused_knn and
                         jnp.dtype(cfg.model.compute_dtype) == jnp.bfloat16),
             fast=cfg.model.knn_fast,
+            axis_name=axis_name,
         )
         if w.compat_frozen_gate:
             gate = jnp.zeros_like(gate)
@@ -96,7 +111,8 @@ def _loss_fn(params, bn_state, batch, *, cfg, style, bn_decay, gate, rng):
     return total, (components, new_bn_state, logits)
 
 
-def _accuracy(logits, seg_labels, valid_mask, part_bias=None):
+def _accuracy(logits, seg_labels, valid_mask, part_bias=None,
+              axis_name=None):
     """Fraction of correctly classified points over valid samples.
 
     ``part_bias`` [B, K] (1.0 on the shape category's part ids) reproduces
@@ -107,12 +123,16 @@ def _accuracy(logits, seg_labels, valid_mask, part_bias=None):
         prob = prob + part_bias[:, None, :]
     pred = jnp.argmax(prob, axis=-1)
     correct = (pred == seg_labels).astype(jnp.float32) * valid_mask[:, None]
-    return jnp.sum(correct) / jnp.maximum(
-        jnp.sum(valid_mask) * seg_labels.shape[1], 1.0
-    )
+    num = jnp.sum(correct)
+    den = jnp.sum(valid_mask) * seg_labels.shape[1]
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    return num / jnp.maximum(den, 1.0)
 
 
-def make_train_step(cfg: ExperimentConfig, style: Optional[str] = None) -> Callable:
+def make_train_step(cfg: ExperimentConfig, style: Optional[str] = None,
+                    mesh: Optional[Mesh] = None) -> Callable:
     """Build the jitted train step.
 
     The returned function has signature
@@ -125,51 +145,109 @@ def make_train_step(cfg: ExperimentConfig, style: Optional[str] = None) -> Calla
         cat_onehot  [B, num_categories] (ShapeNet only)
         valid       [B]             1.0 for real samples, 0 for padding
     and ``gate`` the rampup gate scalar (epoch >= rampup ? 1.0 : 0.0).
+
+    ``mesh``: build the step as an explicit ``shard_map`` over the mesh's
+    first axis instead of relying on the SPMD partitioner. This is THE
+    data-parallel mode for the fused bf16 kernel path: the partitioner
+    cannot partition a ``pallas_call`` over the sharded batch axis, so the
+    fused blocks take ``axis_name`` and psum their in-kernel BN moment
+    sums explicitly (models/layers.py::_psum_moments); the losses/metrics
+    reduce globally (psum'd numerator/denominator for the masked CE,
+    pmean elsewhere) and the per-shard partial gradients are psum'd before
+    the optimizer update. Requires every batch leaf's leading dim to
+    divide the mesh size. Dropout keys are decorrelated per shard via
+    ``fold_in(axis_index)`` — statistically equivalent to, but not
+    bit-identical with, the single-device masks.
     """
     style = style or cfg.train.style
     # The schedules count UNIQUE samples: the reference passes args.batchsize
     # (not the 2x Siamese feed size) to SetLearningRate even in Full style
     # (train_ShapeNet.py:82, ShapeNet_DGCNN_trainer.py:26-44).
     batch_size = cfg.train.batch_size
+    axis = mesh.axis_names[0] if mesh is not None else None
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, batch, gate, rng):
+    def _step(state: TrainState, batch, gate, rng):
         lr = learning_rate_schedule(state.step, batch_size, cfg.schedule)
         bn_decay = bn_decay_schedule(state.step, batch_size, cfg.schedule)
+        if axis is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
         (_, (components, new_bn_state, logits)), grads = grad_fn(
             state.params, state.bn_state, batch,
             cfg=cfg, style=style, bn_decay=bn_decay, gate=gate, rng=rng,
+            axis_name=axis,
         )
+        if axis is not None:
+            # The loss is evaluated with GLOBAL reductions, so the true
+            # per-shard grad is a partial contribution and the completing
+            # reduction would be a psum. But under check_vma=False,
+            # shard_map transposes psum to psum (the conservative rule),
+            # so differentiating the replicated global loss inflates every
+            # shard's cotangent by the axis size D: each shard's grad is
+            # D x partial, and the completing reduction is a pmean. The
+            # fused blocks' hand-written VJPs are linear in the incoming
+            # cotangent, so their local dgamma/dbeta/db partials carry the
+            # same uniform D factor and the pmean lands them exactly.
+            # (Validated leaf-for-leaf against the single-device step by
+            # tests/test_shardmap_dp.py — which pins these semantics: if a
+            # jax upgrade switches to the pbroadcast transpose, that test
+            # fails loudly and this becomes a psum.)
+            grads = jax.lax.pmean(grads, axis)
         new_state = state.replace(bn_state=new_bn_state).apply_gradients(grads, lr)
         metrics = dict(components)
         metrics["lr"] = lr
         metrics["bn_decay"] = bn_decay
         metrics["acc"] = _accuracy(
-            logits, batch["seg"], batch["valid"], batch.get("part_bias")
+            logits, batch["seg"], batch["valid"], batch.get("part_bias"),
+            axis_name=axis,
         )
         return new_state, metrics
 
-    return train_step
+    if mesh is None:
+        return partial(jax.jit, donate_argnums=(0,))(_step)
+
+    sharded = shard_map(
+        _step, mesh=mesh,
+        in_specs=(P(), P(axis), P(), P()),
+        out_specs=(P(), P()),
+        # the fused custom-VJP blocks defeat replication tracking; outputs
+        # are value-replicated by construction (global reductions)
+        check_vma=False,
+    )
+    return partial(jax.jit, donate_argnums=(0,))(sharded)
 
 
-def make_eval_step(cfg: ExperimentConfig) -> Callable:
+def make_eval_step(cfg: ExperimentConfig,
+                   mesh: Optional[Mesh] = None) -> Callable:
     """Build the jitted eval forward: (state, batch) -> (prob, loss).
 
     Runs with training=False — population BN stats, no dropout. (The
     reference's Plain-style eval runs with Is_Training=True, quirk Q7; the
     sound Full-style eval path is what this reproduces.)
+
+    ``mesh``: shard_map over the batch axis (the fused-kernel DP mode —
+    population BN stats make eval trivially shard-local; only the masked
+    CE reduces globally). Probabilities come back batch-sharded.
     """
 
     forward = make_forward_fn(cfg)
+    axis = mesh.axis_names[0] if mesh is not None else None
 
-    @jax.jit
-    def eval_step(state: TrainState, batch):
+    def _eval(state: TrainState, batch):
         logits, _ = forward(
             state.params, state.bn_state, batch["data"], batch.get("cat_onehot"),
             training=False, bn_decay=None, rng=jax.random.PRNGKey(0),
         )
-        loss = masked_softmax_ce(logits, batch["seg_onehot"], batch["mask"])
+        loss = masked_softmax_ce(logits, batch["seg_onehot"], batch["mask"],
+                                 axis_name=axis)
         return jax.nn.softmax(logits, axis=-1), loss
 
-    return eval_step
+    if mesh is None:
+        return jax.jit(_eval)
+
+    return jax.jit(shard_map(
+        _eval, mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(axis), P()),
+        check_vma=False,
+    ))
