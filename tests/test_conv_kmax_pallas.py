@@ -345,3 +345,49 @@ def test_nmax_layer_grads_match_unfused(rng):
     ye, _ = layers.apply_conv(params, st, h, training=False, bn_decay=None)
     np.testing.assert_allclose(oe, jnp.max(ye, axis=1), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_whole_stage_want_graph(rng):
+    """want_graph: the stage's extra (idx, sqd) outputs equal the
+    reference kNN graph (nearest-first order, self included) + squared
+    distances, while output / gradients / BN states are unchanged vs the
+    plain stage call. The k-nearest PREFIX property the smoothness-loss
+    reuse depends on (losses/weaksup.py graph=...) is asserted directly:
+    idx[:, :, :k'] for k' < k is exactly knn_graph(g, k')."""
+    b, n, k, c, c2 = 2, 48, 6, 12, 10
+    f = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    p1, p2 = _mk_params(2 * c, c2, 11), _mk_params(c2, c2, 12)
+    st = {"mean": jnp.zeros((c2,)), "var": jnp.ones((c2,))}
+    kw = dict(training=True, bn_decay=0.9, interpret=True)
+    R = jnp.asarray(rng.standard_normal((b, n, c2)), jnp.float32)
+
+    out, ns1, ns2, (idx, sqd) = layers.apply_edge_conv_stage_fused(
+        p1, st, p2, st, f, g, k, want_graph=True, **kw)
+    out0, ns10, ns20 = layers.apply_edge_conv_stage_fused(
+        p1, st, p2, st, f, g, k, **kw)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out0))
+    np.testing.assert_allclose(ns1["mean"], ns10["mean"], rtol=1e-6)
+    np.testing.assert_allclose(ns2["var"], ns20["var"], rtol=1e-6)
+
+    want_idx = knn_ops.knn_graph(g, k)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_idx))
+    for kp in (1, 3):
+        np.testing.assert_array_equal(
+            np.asarray(idx[:, :, :kp]),
+            np.asarray(knn_ops.knn_graph(g, kp)))
+    d = knn_ops.pairwise_sqdist(g)
+    want_sqd = -jax.lax.top_k(-d, k)[0]
+    np.testing.assert_allclose(np.asarray(sqd), np.asarray(want_sqd),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(p1, p2, f, want):
+        o = layers.apply_edge_conv_stage_fused(
+            p1, st, p2, st, f, g, k, want_graph=want, **kw)
+        return jnp.sum(o[0] * R)
+
+    gw = jax.grad(loss, argnums=(0, 1, 2))(p1, p2, f, True)
+    g0 = jax.grad(loss, argnums=(0, 1, 2))(p1, p2, f, False)
+    for a, b_ in zip(jax.tree_util.tree_leaves(gw),
+                     jax.tree_util.tree_leaves(g0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))

@@ -316,3 +316,58 @@ def test_knockout_free_fast_knn_identical(monkeypatch, rng):
         np.testing.assert_array_equal(np.asarray(base[1]), np.asarray(new[1]))
     finally:
         kp.knn_pallas.clear_cache()
+
+
+def test_weighted_gather_pre_matches_reference(rng):
+    """weighted_gather_pre (gather-only half of knn_weighted_gather, from a
+    precomputed graph) == weighted sum of gathered rows, value + VJP."""
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import (
+        weighted_gather_pre,
+    )
+
+    b, n, cf, k, gamma = 2, 200, 17, 10, 0.1
+    g = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    f0 = jnp.asarray(rng.standard_normal((b, n, cf)), jnp.float32)
+    d = knn_ops.pairwise_sqdist(g)
+    neg_vals, idx = jax.lax.top_k(-d, k)
+    w = jnp.exp(-jnp.maximum(-neg_vals, 0.0) / gamma)
+
+    s = weighted_gather_pre(idx, w, f0, 256, True)
+    want_s = jnp.sum(
+        w[..., None] * knn_ops.gather_neighbors(f0, idx), axis=2)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(want_s),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(f):
+        s = weighted_gather_pre(idx, w, f, 256, True)
+        return jnp.sum(jnp.sin(s)) + 0.5 * jnp.sum(jnp.square(s))
+
+    def loss_ref(f):
+        s = jnp.sum(
+            w[..., None] * knn_ops.gather_neighbors(f, idx), axis=2)
+        return jnp.sum(jnp.sin(s)) + 0.5 * jnp.sum(jnp.square(s))
+
+    np.testing.assert_allclose(float(loss(f0)), float(loss_ref(f0)),
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss)(f0)), np.asarray(jax.grad(loss_ref)(f0)),
+        rtol=1e-4, atol=1e-4)
+
+
+def test_weighted_gather_pre_equals_fused_on_same_graph(rng):
+    """Feeding knn_weighted_gather's own (idx, w) into weighted_gather_pre
+    reproduces its aggregate exactly — the graph-reuse path of the
+    smoothness loss (losses/weaksup.py graph=...) is the same computation
+    with the selection skipped."""
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import (
+        knn_weighted_gather,
+        weighted_gather_pre,
+    )
+
+    b, n, cf, k, gamma = 2, 160, 9, 8, 0.1
+    g = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    f = jnp.asarray(rng.standard_normal((b, n, cf)), jnp.float32)
+    idx, s_fused, w = knn_weighted_gather(g, f, k, gamma, 256, True)
+    s_pre = weighted_gather_pre(idx, w, f, 256, True)
+    np.testing.assert_allclose(np.asarray(s_pre), np.asarray(s_fused),
+                               rtol=1e-6, atol=1e-6)

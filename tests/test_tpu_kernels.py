@@ -765,3 +765,63 @@ def test_cls_fused_path_on_device():
     gt = np.asarray(grads["transform_net"]["tconv1"]["w"], np.float32)
     assert np.abs(g1).max() > 0, "first-stage grads are zero (miscompile?)"
     assert np.abs(gt).max() > 0, "transform-net grads are zero (miscompile?)"
+
+
+def test_smooth_graph_reuse_matches_standalone_on_device(monkeypatch):
+    """The Full-style step's smoothness loss computed from the REUSED
+    transform-stage kNN graph (models/dgcnn.py want_smooth_graph ->
+    losses/weaksup.py graph=...) matches the standalone
+    knn_weighted_gather path within bf16 rounding of the coordinates
+    (the stage builds distances on bf16-cast xyz; the standalone kernel
+    on f32), and every other loss component is bit-identical."""
+    import dataclasses
+    from weaksuppointcloudseg_tpu import configs
+    from weaksuppointcloudseg_tpu.train.state import create_train_state
+    from weaksuppointcloudseg_tpu.train import steps as steps_mod
+    from weaksuppointcloudseg_tpu.train.steps import make_train_step
+    from weaksuppointcloudseg_tpu.utils.tools import onehot_encode
+
+    cfg = configs.shapenet_config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, num_points=512,
+                                  compute_dtype="bfloat16", knn_fast=True),
+        train=dataclasses.replace(cfg.train, batch_size=4, style="Full"),
+    )
+    assert steps_mod._smooth_graph_reusable(cfg)
+    rng = np.random.default_rng(3)
+    n, b, k = 512, 8, cfg.model.num_classes
+    seg = rng.integers(0, k, (b, n))
+    batch = jax.device_put({
+        "data": rng.standard_normal((b, n, 3)).astype(np.float32),
+        "seg": seg.astype(np.int32),
+        "seg_onehot": onehot_encode(seg, k),
+        "mask": (rng.uniform(size=(b, n)) < 0.1).astype(np.float32),
+        "cat_onehot": onehot_encode(
+            rng.integers(0, cfg.model.num_categories, (b,)),
+            cfg.model.num_categories),
+        "valid": np.ones((b,), np.float32),
+    })
+
+    def run(reuse):
+        if not reuse:
+            monkeypatch.setattr(steps_mod, "_smooth_graph_reusable",
+                                lambda c: False)
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        step = make_train_step(cfg)
+        state, m1 = step(state, batch, np.float32(1.0),
+                         jax.random.PRNGKey(1))
+        state, m2 = step(state, batch, np.float32(1.0),
+                         jax.random.PRNGKey(2))
+        monkeypatch.undo()
+        return ({k_: float(v) for k_, v in m1.items()},
+                {k_: float(v) for k_, v in m2.items()})
+
+    r1, r2 = run(True)
+    b1, b2 = run(False)
+    # step 1: identical params -> every non-smooth component bit-equal
+    for name in ("seg", "siamese", "inexact", "acc"):
+        assert r1[name] == b1[name], (name, r1[name], b1[name])
+    np.testing.assert_allclose(r1["smooth"], b1["smooth"], rtol=2e-2)
+    # step 2 params differ only through the tiny smooth-grad delta
+    np.testing.assert_allclose(r2["total"], b2["total"], rtol=1e-3)

@@ -99,6 +99,7 @@ def smooth_knn_laplacian(
     fused_bf16: bool = False,
     fast: bool = False,
     axis_name=None,
+    graph: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> jax.Array:
     """Spatial(-color) smoothness on the softmax output.
 
@@ -125,6 +126,19 @@ def smooth_knn_laplacian(
     the bf16 compute-dtype fast configs — measured 13.8 -> 6.0 ms
     fwd+bwd (incl. softmax) at B=64, N=2048, k=10, 50 classes vs the
     round-2 gather-then-diff fused kernel.
+
+    ``graph``: a precomputed gradient-free kNN graph ``(idx [B, N, k'],
+    sqd [B, N, k'] f32)`` with ``k' >= k``, built on the SAME coordinates
+    this loss would use (nearest-first order — the fused stage kernels and
+    ``knn_pallas(with_values=True)`` both emit it). When given with
+    ``fused_bf16``, the loss reuses its k-nearest prefix and skips its own
+    kNN selection entirely (the gather runs from the precomputed indices
+    via ops/edgeconv_pallas.py::weighted_gather_pre). The ShapeNet Full
+    trainer feeds the fused transform stage's raw-xyz graph here
+    (models/dgcnn.py ``want_smooth_graph``) — same selection semantics,
+    but the stage builds distances on bf16-cast coordinates, so weights
+    differ from the f32-coordinate standalone kernel within bf16 rounding
+    of the inputs.
     """
     if channels is not None:
         x = x[..., channels[0]:channels[1]]
@@ -136,14 +150,21 @@ def smooth_knn_laplacian(
     if fused_bf16 and on_tpu:
         from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import (
             knn_weighted_gather,
+            weighted_gather_pre,
         )
 
         n_cls = prob.shape[-1]
         q = jnp.sum(jnp.square(prob), axis=-1)  # [B, N] |P_n|^2
         f = jnp.concatenate([prob, q[..., None]], axis=-1).astype(
             jnp.bfloat16)
-        _, s, w = knn_weighted_gather(
-            jax.lax.stop_gradient(x), f, k, gamma, 256, False, fast)
+        if graph is not None:
+            idx = jax.lax.stop_gradient(graph[0])[:, :, :k]
+            sqd = jax.lax.stop_gradient(graph[1])[:, :, :k]
+            w = jnp.exp(-jnp.maximum(sqd, 0.0) / gamma)  # f32, grad-free
+            s = weighted_gather_pre(idx, w, f)
+        else:
+            _, s, w = knn_weighted_gather(
+                jax.lax.stop_gradient(x), f, k, gamma, 256, False, fast)
         s1 = s[..., :n_cls]
         s2 = s[..., n_cls]
         s0 = jnp.sum(w, axis=-1)  # [B, N] sum of weights (grad-free)

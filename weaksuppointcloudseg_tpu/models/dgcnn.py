@@ -106,7 +106,8 @@ def apply_dgcnn_seg(
     rng: Optional[jax.Array] = None,
     head_bn_fixed_decay: Optional[float] = None,
     axis_name=None,
-) -> Tuple[jax.Array, dict]:
+    want_smooth_graph: bool = False,
+):
     """Forward pass. Returns (logits [B, N, num_classes], new BN state).
 
     ``axis_name``: shard_map data-parallel axis name. When set, every BN
@@ -114,6 +115,14 @@ def apply_dgcnn_seg(
     moments via psum over the axis — the cross-replica-BN requirement of
     SURVEY.md §2.3 for the fused path, where the SPMD partitioner cannot
     see inside pallas_call (train/steps.py builds the shard_map step).
+
+    ``want_smooth_graph`` (fused bf16 training path with a transform net
+    only): appends the transform branch's gradient-free kNN graph
+    (idx [B, N, k] int32, sqd [B, N, k] f32, built on the raw kNN input
+    coordinates) to the return tuple, for reuse by the smoothness loss —
+    on ShapeNet both graphs live on raw xyz, so the loss's own kNN pass
+    (reference Util/SmoothConstraint.py:140-158 recomputes the full
+    distance matrix) is skipped entirely (losses/weaksup.py, graph=...).
     """
     new_state = dict(state)
     compute_dtype = jnp.dtype(cfg.compute_dtype)
@@ -151,6 +160,12 @@ def apply_dgcnn_seg(
         head_kw["bn_decay"] = head_bn_fixed_decay
     B, N, _ = x.shape
 
+    smooth_graph = None
+    if want_smooth_graph:
+        assert training and cfg.use_transform_net and fused_tpu, (
+            "want_smooth_graph reuses the fused transform stage's kNN "
+            "graph — training + use_transform_net + fused bf16/TPU only")
+
     # --- Spatial transform branch (ShapeNet only) ---
     if cfg.use_transform_net:
         g = _knn_input(x, cfg)
@@ -161,13 +176,17 @@ def apply_dgcnn_seg(
         # scatter against the whole conv2+BN+k-max chain, flipping the
         # trade — see apply_transform_net.)
         if fused_tpu:
-            transform, new_state["transform_net"] = apply_transform_net(
+            touts = apply_transform_net(
                 params["transform_net"], state["transform_net"], None,
                 K=g.shape[-1], training=training, bn_decay=bn_decay,
                 bn_eps=cfg.bn_eps,
                 fused_graph=g.astype(compute_dtype), k=cfg.k,
                 fast=cfg.knn_fast, axis_name=axis_name,
+                want_graph=want_smooth_graph,
             )
+            transform, new_state["transform_net"] = touts[:2]
+            if want_smooth_graph:
+                smooth_graph = touts[2]
         else:
             ef = knn_ops.edge_feature_auto(
                 g, g.astype(compute_dtype), cfg.k,
@@ -287,4 +306,6 @@ def apply_dgcnn_seg(
     logits, _ = layers.apply_conv(
         params["seg_out"], {}, h, training=training, bn_decay=None, relu=False, bn=False
     )
+    if want_smooth_graph:
+        return logits.astype(jnp.float32), new_state, smooth_graph
     return logits.astype(jnp.float32), new_state

@@ -597,9 +597,10 @@ def _stage_consts(gamma, beta, mom, r, eps):
     return mean, var, s, t, inv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
-def _edge_conv_stage_train(k, eps, fast, interpret, axis_name, w1, b1,
-                           gamma1, beta1, w2, b2, gamma2, beta2, f, g_src):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _edge_conv_stage_train(k, eps, fast, interpret, axis_name, with_graph,
+                           w1, b1, gamma1, beta1, w2, b2, gamma2, beta2, f,
+                           g_src):
     """A WHOLE two-conv EdgeConv stage (kNN + conv1 + BN + relu + conv2 +
     BN + relu + k-max) as two Pallas kernels and [B, N, C]-sized glue.
 
@@ -621,25 +622,35 @@ def _edge_conv_stage_train(k, eps, fast, interpret, axis_name, w1, b1,
     factorization maps to df/dw1 exactly as in _edge_conv_bn_relu_train).
 
     Returns (out [B,N,C2], mean1, var1, mean2, var2); the mean/var
-    outputs feed the (undifferentiated) BN state updates.
+    outputs feed the (undifferentiated) BN state updates. With
+    ``with_graph`` the tuple gains (idx [B,N,k] int32, sqd [B,N,k] f32):
+    the stage's kNN graph + squared distances, gradient-free — consumed by
+    the smoothness loss when its graph coincides with this stage's
+    (ShapeNet: the transform branch and the smooth loss both build on raw
+    xyz; Util/SmoothConstraint.py:140-158).
     """
     outs, _ = _stage_fwd_math(
-        k, eps, fast, interpret, axis_name, w1, b1, gamma1, beta1, w2, b2,
-        gamma2, beta2, f, g_src)
+        k, eps, fast, interpret, axis_name, with_graph, w1, b1, gamma1,
+        beta1, w2, b2, gamma2, beta2, f, g_src)
     return outs
 
 
-def _stage_fwd_math(k, eps, fast, interpret, axis_name, w1, b1, gamma1,
-                    beta1, w2, b2, gamma2, beta2, f, g_src):
+def _stage_fwd_math(k, eps, fast, interpret, axis_name, with_graph, w1, b1,
+                    gamma1, beta1, w2, b2, gamma2, beta2, f, g_src):
     from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
         conv_minmax_pallas,
     )
     from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import _knn_edge_impl
 
     u, v = _uv_factor(w1, b1, f)
-    idx, y1, mom1 = _knn_edge_impl(
+    knn_out = _knn_edge_impl(
         jax.lax.stop_gradient(g_src), jax.lax.stop_gradient(v),
-        jax.lax.stop_gradient(u), k, 256, interpret, fast)
+        jax.lax.stop_gradient(u), k, 256, interpret, fast,
+        with_values=with_graph)
+    if with_graph:
+        idx, y1, mom1, sqd = knn_out
+    else:
+        (idx, y1, mom1), sqd = knn_out, None
     r = y1.shape[0] * y1.shape[1] * y1.shape[2]
     mom1, rg = _psum_moments(mom1, r, axis_name)
     mean1, var1, s1, t1, inv1 = _stage_consts(gamma1, beta1, mom1, rg, eps)
@@ -651,22 +662,24 @@ def _stage_fwd_math(k, eps, fast, interpret, axis_name, w1, b1, gamma1,
     ysel, asel = _minmax_select(ymax, amax, ymin, amin, s2)
     z = ysel.astype(jnp.float32) * s2 + t2
     out = jax.nn.relu(z).astype(f.dtype)
-    return ((out, mean1, var1, mean2, var2),
-            (idx, y1, ysel, asel, mean1, inv1, mean2, inv2))
+    outs = (out, mean1, var1, mean2, var2)
+    if with_graph:
+        outs = outs + (idx, sqd)
+    return outs, (idx, y1, ysel, asel, mean1, inv1, mean2, inv2)
 
 
-def _stage_fwd(k, eps, fast, interpret, axis_name, w1, b1, gamma1, beta1,
-               w2, b2, gamma2, beta2, f, g_src):
+def _stage_fwd(k, eps, fast, interpret, axis_name, with_graph, w1, b1,
+               gamma1, beta1, w2, b2, gamma2, beta2, f, g_src):
     outs, (idx, y1, ysel, asel, mean1, inv1, mean2, inv2) = _stage_fwd_math(
-        k, eps, fast, interpret, axis_name, w1, b1, gamma1, beta1, w2, b2,
-        gamma2, beta2, f, g_src)
+        k, eps, fast, interpret, axis_name, with_graph, w1, b1, gamma1,
+        beta1, w2, b2, gamma2, beta2, f, g_src)
     res = (idx, y1, ysel, asel, mean1, inv1, mean2, inv2,
            w1, b1, gamma1, beta1, w2, b2, gamma2, beta2, f,
            jnp.zeros_like(g_src))
     return outs, res
 
 
-def _stage_bwd(k, eps, fast, interpret, axis_name, res, cts):
+def _stage_bwd(k, eps, fast, interpret, axis_name, with_graph, res, cts):
     from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
         conv_kmax_bwd_pallas,
     )
@@ -744,21 +757,29 @@ def apply_edge_conv_stage_fused(
     fast: bool = False,
     interpret: bool = False,
     axis_name=None,
-) -> Tuple[jax.Array, State, State]:
+    want_graph: bool = False,
+):
     """Whole fused EdgeConv stage: kNN + conv1+BN+relu + conv2+BN+relu +
     k-max (reference DGCNN_ShapeNet.py:32-62 per stage). Returns
-    ([B, N, C2] stage output, new BN state 1, new BN state 2)."""
+    ([B, N, C2] stage output, new BN state 1, new BN state 2); with
+    ``want_graph`` (training only) appends the gradient-free
+    (idx [B,N,k], sqd [B,N,k]) kNN graph for reuse by the smoothness
+    loss (losses/weaksup.py)."""
     if training:
-        out, mean1, var1, mean2, var2 = _edge_conv_stage_train(
-            k, eps, fast, interpret, axis_name, params1["w"], params1["b"],
-            params1["gamma"], params1["beta"], params2["w"], params2["b"],
-            params2["gamma"], params2["beta"], f, g_src)
+        outs = _edge_conv_stage_train(
+            k, eps, fast, interpret, axis_name, want_graph, params1["w"],
+            params1["b"], params1["gamma"], params1["beta"], params2["w"],
+            params2["b"], params2["gamma"], params2["beta"], f, g_src)
+        out, mean1, var1, mean2, var2 = outs[:5]
         d = bn_decay
         ns1 = {"mean": state1["mean"] * d + mean1 * (1.0 - d),
                "var": state1["var"] * d + var1 * (1.0 - d)}
         ns2 = {"mean": state2["mean"] * d + mean2 * (1.0 - d),
                "var": state2["var"] * d + var2 * (1.0 - d)}
+        if want_graph:
+            return out, ns1, ns2, (outs[5], outs[6])
         return out, ns1, ns2
+    assert not want_graph, "graph reuse is a training-path feature"
 
     from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
         conv_minmax_pallas,

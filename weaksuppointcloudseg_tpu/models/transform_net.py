@@ -49,8 +49,15 @@ def apply_transform_net(
     k: int = 20,
     fast: bool = False,
     axis_name=None,  # shard_map DP axis: cross-replica BN moments
-) -> Tuple[jax.Array, dict]:
+    want_graph: bool = False,  # also return the stage's (idx, sqd) kNN graph
+):
+    """Returns (transform [B, K, K], new BN state); with ``want_graph``
+    (fused training path only) appends the tconv stage's gradient-free kNN
+    graph (idx [B, N, k] int32, sqd [B, N, k] f32) — built on the raw
+    ``fused_graph`` coordinates, reusable by the smoothness loss whose
+    graph lives on the same coordinates (losses/weaksup.py)."""
     new_state = {}
+    graph = None
     kw = dict(training=training, bn_decay=bn_decay, eps=bn_eps,
               axis_name=axis_name)
     if fused_graph is not None:
@@ -61,12 +68,15 @@ def apply_transform_net(
         # scatter was pure overhead since df is dead); the merged stage
         # amortizes that scatter against the whole conv2+BN+k-max chain.
         # bf16/TPU configs only.
-        net, new_state["tconv1"], new_state["tconv2"] = (
-            layers.apply_edge_conv_stage_fused(
-                params["tconv1"], state["tconv1"], params["tconv2"],
-                state["tconv2"], fused_graph, fused_graph, k,
-                fast=fast, **kw))
+        outs = layers.apply_edge_conv_stage_fused(
+            params["tconv1"], state["tconv1"], params["tconv2"],
+            state["tconv2"], fused_graph, fused_graph, k,
+            fast=fast, want_graph=want_graph, **kw)
+        net, new_state["tconv1"], new_state["tconv2"] = outs[:3]
+        if want_graph:
+            graph = outs[3]
     else:
+        assert not want_graph, "graph reuse needs the fused stage path"
         net, new_state["tconv1"] = layers.apply_conv(
             params["tconv1"], state["tconv1"], edge_feat, **kw)
         net, new_state["tconv2"] = layers.apply_conv(
@@ -91,4 +101,6 @@ def apply_transform_net(
     net, new_state["tfc2"] = layers.apply_conv(params["tfc2"], state["tfc2"], net, **kw)
     out = params["transform_out"]
     transform = net.astype(jnp.float32) @ out["w"] + out["b"]
+    if want_graph:
+        return transform.reshape(-1, K, K), new_state, graph
     return transform.reshape(-1, K, K), new_state

@@ -327,7 +327,7 @@ knn_gather_with_sqdist.defvjp(*_make_vjp(with_values=True))
 
 def _kernel_edge(g_rows_ref, g_all_ref, v_all_ref, u_rows_ref, idx_ref,
                  y_ref, mom_ref, ymax_ref, amax_ref, ymin_ref, amin_ref,
-                 *, k: int, n_valid: int, n_pad: int, fast: bool,
+                 val_ref, *, k: int, n_valid: int, n_pad: int, fast: bool,
                  idx_bits: int, tiles: int = 1):
     g_all = g_all_ref[0]
     v_all = v_all_ref[0]
@@ -374,13 +374,15 @@ def _kernel_edge(g_rows_ref, g_all_ref, v_all_ref, u_rows_ref, idx_ref,
 
         rounds = _selection_rounds(x, col_ids, k, fast=fast,
                                    idx_bits=idx_bits, n_pad=n_pad)
-        idx_cols, y_slabs = [], []
+        idx_cols, y_slabs, val_cols = [], [], []
         ymax = ymin = amax = amin = None
         for c0 in range(0, k, MM_CHUNK):
             sels = []
             for _ in range(min(MM_CHUNK, k - c0)):
-                idx, sel, _ = next(rounds)
+                idx, sel, val = next(rounds)
                 idx_cols.append(idx)
+                if val_ref is not None:
+                    val_cols.append(val)
                 sels.append(sel.astype(v_all.dtype))
             for sel in sels:  # back-to-back MXU gather+conv (see MM_CHUNK)
                 gath = jax.lax.dot_general(  # gather of v, exact for bf16 v
@@ -425,9 +427,13 @@ def _kernel_edge(g_rows_ref, g_all_ref, v_all_ref, u_rows_ref, idx_ref,
         if one:
             idx_ref[0] = jnp.concatenate(idx_cols, axis=1)
             y_ref[0] = jnp.concatenate(y_slabs, axis=1)
+            if val_ref is not None:
+                val_ref[0] = jnp.concatenate(val_cols, axis=1)
         else:
             idx_ref[0, rs] = jnp.concatenate(idx_cols, axis=1)
             y_ref[0, rs] = jnp.concatenate(y_slabs, axis=1)
+            if val_ref is not None:
+                val_ref[0, rs] = jnp.concatenate(val_cols, axis=1)
 
     pad = jnp.zeros((6, co), jnp.float32)
     mom_ref[...] += jnp.concatenate([ysum, ysq, pad], axis=0)
@@ -436,10 +442,10 @@ def _kernel_edge(g_rows_ref, g_all_ref, v_all_ref, u_rows_ref, idx_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "row_tile", "interpret", "fast", "with_minmax",
-                     "tiles_per_step"))
+                     "tiles_per_step", "with_values"))
 def _knn_edge_impl(g, v, u, k: int, row_tile: int, interpret: bool,
                    fast: bool, with_minmax: bool = False,
-                   tiles_per_step: int = 2):
+                   tiles_per_step: int = 2, with_values: bool = False):
     # tiles_per_step=2 default: halves the grid's per-step overhead while
     # the selection state stays one-sub-tile-sized (microbench at B=64,
     # N=2048, k=20, C=64 bf16: 12.07 -> 11.88 ms with minmax, 14.02 ->
@@ -466,13 +472,23 @@ def _knn_edge_impl(g, v, u, k: int, row_tile: int, interpret: bool,
         u = jnp.pad(u, ((0, 0), (0, n_pad - n), (0, 0)))
 
     idx_bits = max(1, (n_pad - 1).bit_length()) if fast else 0
-    kernel = functools.partial(
+    base = functools.partial(
         _kernel_edge, k=k, n_valid=n, n_pad=n_pad, fast=fast,
         idx_bits=idx_bits, tiles=tiles)
-    if not with_minmax:
+    # pallas passes output refs positionally in out_specs order
+    # (idx, y, mom[, minmax x4][, val]); route them to the right params
+    if with_minmax and with_values:
+        kernel = base
+    elif with_minmax:
+        kernel = functools.partial(base, val_ref=None)
+    elif with_values:
+        def kernel(g_r, g_a, v_a, u_r, idx_r, y_r, mom_r, val_r):
+            base(g_r, g_a, v_a, u_r, idx_r, y_r, mom_r, None, None, None,
+                 None, val_r)
+    else:
         kernel = functools.partial(
-            kernel, ymax_ref=None, amax_ref=None, ymin_ref=None,
-            amin_ref=None)
+            base, ymax_ref=None, amax_ref=None, ymin_ref=None,
+            amin_ref=None, val_ref=None)
     row_spec = pl.BlockSpec((1, tr, co_pad), lambda bi, i: (bi, i, 0),
                             memory_space=pltpu.VMEM)
     out_specs = [
@@ -496,6 +512,11 @@ def _knn_edge_impl(g, v, u, k: int, row_tile: int, interpret: bool,
             jax.ShapeDtypeStruct((b, n_pad, co_pad), v.dtype),
             jax.ShapeDtypeStruct((b, n_pad, co_pad), jnp.int32),
         ]
+    if with_values:
+        out_specs.append(
+            pl.BlockSpec((1, tr, k), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, n_pad, k), jnp.float32))
     outs = pl.pallas_call(
         kernel,
         grid=(b, n_pad // tr),
@@ -520,11 +541,12 @@ def _knn_edge_impl(g, v, u, k: int, row_tile: int, interpret: bool,
     y = y[:, :n].reshape(b, n, k, co_pad)
     if co_pad != co:
         y = y[..., :co]
+    tail = (outs[-1][:, :n],) if with_values else ()
     if with_minmax:
         sl = (slice(None), slice(0, n), slice(0, co))
         return (idx[:, :n], y, mom[:2, :co], outs[3][sl], outs[4][sl],
-                outs[5][sl], outs[6][sl])
-    return idx[:, :n], y, mom[:2, :co]
+                outs[5][sl], outs[6][sl]) + tail
+    return (idx[:, :n], y, mom[:2, :co]) + tail
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -763,6 +785,115 @@ def _wgather_bwd(k, gamma, row_tile, interpret, fast, res, cts):
 
 
 knn_weighted_gather.defvjp(_wgather_fwd, _wgather_bwd)
+
+
+def _kernel_wagg_pre(idx_ref, w_ref, f_all_ref, s_ref, *, k: int,
+                     n_pad: int):
+    idxs = idx_ref[0]   # [TM, k] int32
+    ws = w_ref[0]       # [TM, k] f32
+    f_all = f_all_ref[0]
+    tm = idxs.shape[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
+    acc = jnp.zeros((tm, f_all.shape[-1]), jnp.float32)
+    for r in range(k):
+        sel = (col_ids == idxs[:, r:r + 1]).astype(f_all.dtype)
+        gathered = jax.lax.dot_general(  # exact for bf16 f
+            sel, f_all,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + ws[:, r:r + 1] * gathered
+    s_ref[0] = acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("row_tile", "interpret"))
+def _wgather_pre_impl(idx: jax.Array, w: jax.Array, f: jax.Array,
+                      row_tile: int, interpret: bool):
+    b, n, k = idx.shape
+    cf = f.shape[-1]
+    cf_pad = _round_up(cf, 8)
+    if cf_pad != cf:
+        f = jnp.pad(f, ((0, 0), (0, 0), (0, cf_pad - cf)))
+    tm = min(row_tile, _round_up(n, 8))
+    n_pad = _round_up(n, tm)
+    if n_pad != n:
+        idx = jnp.pad(idx, ((0, 0), (0, n_pad - n), (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, n_pad - n), (0, 0)))
+        f = jnp.pad(f, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    kernel = functools.partial(_kernel_wagg_pre, k=k, n_pad=n_pad)
+    s = pl.pallas_call(
+        kernel,
+        grid=(b, n_pad // tm),
+        in_specs=[
+            pl.BlockSpec((1, tm, k), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, k), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, cf_pad), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tm, cf_pad), lambda bi, i: (bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, cf_pad), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(32 << 20) * max(1, (row_tile + 255) // 256)),
+    )(idx, w, f)
+    return s[:, :n, :cf]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def weighted_gather_pre(idx, w, f, row_tile: int = 256,
+                        interpret: bool = False):
+    """Weighted neighbor aggregation from a PRECOMPUTED kNN graph.
+
+    ``s[b, n, :] = sum_j w[b, n, j] * f[b, idx[b, n, j], :]`` — the gather
+    half of ``knn_weighted_gather`` with the distance/selection half
+    skipped. Used when the graph (idx, squared distances) is already
+    available from another kernel over the same coordinates: the ShapeNet
+    Full-style smoothness loss reuses the transform branch's kNN (both are
+    built on the raw xyz; the smooth k=10 list is the nearest-first prefix
+    of the transform's k=20 — identical selection semantics, so the loss
+    is bit-identical to recomputing, reference Util/SmoothConstraint.py:
+    140-158).
+
+    The per-round one-hot is rebuilt from idx (one compare pass/round vs
+    the selection's min+compare), the gather matmul is exact for bf16 f,
+    and weights apply in f32 after the gather. Gradients: linear in f —
+    the VJP is the w-weighted round-major Pallas scatter; idx/w carry no
+    gradient.
+    """
+    return _wgather_pre_impl(
+        jax.lax.stop_gradient(idx), jax.lax.stop_gradient(w),
+        jax.lax.stop_gradient(f), row_tile, interpret)
+
+
+def _wgather_pre_fwd(idx, w, f, row_tile, interpret):
+    s = _wgather_pre_impl(
+        jax.lax.stop_gradient(idx), jax.lax.stop_gradient(w),
+        jax.lax.stop_gradient(f), row_tile, interpret)
+    return s, (idx, w, jnp.zeros_like(f))
+
+
+def _wgather_pre_bwd(row_tile, interpret, res, ct):
+    idx, w, f_zeros = res
+    b, n, _ = f_zeros.shape
+    if not interpret and jax.default_backend() in ("tpu", "axon"):
+        from weaksuppointcloudseg_tpu.ops.scatter_pallas import (
+            scatter_add_weighted_pallas,
+        )
+
+        df = scatter_add_weighted_pallas(idx, w, ct, n).astype(f_zeros.dtype)
+    else:
+        bidx = jnp.arange(b)[:, None, None]
+        contrib = w[..., None] * ct[:, :, None, :]  # [B, N, k, Cf]
+        df = f_zeros.at[bidx, idx].add(contrib.astype(f_zeros.dtype))
+    return (None, None, df)
+
+
+weighted_gather_pre.defvjp(_wgather_pre_fwd, _wgather_pre_bwd)
 
 
 def edge_feature_fused(g: jax.Array, f: jax.Array, k: int,

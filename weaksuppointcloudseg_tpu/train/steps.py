@@ -60,24 +60,43 @@ def make_forward_fn(cfg: ExperimentConfig) -> Callable:
     """Raw forward pass closure over the static model config."""
 
     def forward(params, bn_state, x, cat_onehot, *, training, bn_decay, rng,
-                axis_name=None):
+                axis_name=None, want_smooth_graph=False):
         return apply_dgcnn_seg(
             params, bn_state, x, cat_onehot,
             cfg=cfg.model, training=training, bn_decay=bn_decay, rng=rng,
             head_bn_fixed_decay=cfg.model.head_bn_fixed_decay,
-            axis_name=axis_name,
+            axis_name=axis_name, want_smooth_graph=want_smooth_graph,
         )
 
     return forward
 
 
+def _smooth_graph_reusable(cfg: ExperimentConfig) -> bool:
+    """True when the Full-style smoothness loss can reuse the fused
+    transform stage's kNN graph instead of running its own selection:
+    fused bf16/TPU model with a transform net whose graph lives on the
+    same coordinates the loss uses (ShapeNet: raw xyz on both sides —
+    knn_channels/smooth_channels both span the whole input) and whose
+    k covers the loss's k-nearest prefix."""
+    m, w = cfg.model, cfg.weaksup
+    return bool(
+        m.use_fused_knn and jnp.dtype(m.compute_dtype) == jnp.bfloat16
+        and jax.default_backend() in ("tpu", "axon")
+        and m.use_transform_net and w.smooth_knn <= m.k
+        and m.knn_channels is None and w.smooth_channels is None)
+
+
 def _loss_fn(params, bn_state, batch, *, cfg, style, bn_decay, gate, rng,
              axis_name=None):
     forward = make_forward_fn(cfg)
-    logits, new_bn_state = forward(
+    reuse_graph = style == "Full" and _smooth_graph_reusable(cfg)
+    fwd_out = forward(
         params, bn_state, batch["data"], batch.get("cat_onehot"),
         training=True, bn_decay=bn_decay, rng=rng, axis_name=axis_name,
+        want_smooth_graph=reuse_graph,
     )
+    logits, new_bn_state = fwd_out[:2]
+    smooth_graph = fwd_out[2] if reuse_graph else None
     loss_seg = masked_softmax_ce(logits, batch["seg_onehot"], batch["mask"],
                                  axis_name=axis_name)
     components = {"seg": loss_seg}
@@ -98,6 +117,9 @@ def _loss_fn(params, bn_state, batch, *, cfg, style, bn_decay, gate, rng,
                         jnp.dtype(cfg.model.compute_dtype) == jnp.bfloat16),
             fast=cfg.model.knn_fast,
             axis_name=axis_name,
+            # ShapeNet Full reuses the transform stage's raw-xyz kNN graph
+            # — the loss's own selection pass disappears from the step
+            graph=smooth_graph,
         )
         if w.compat_frozen_gate:
             gate = jnp.zeros_like(gate)
