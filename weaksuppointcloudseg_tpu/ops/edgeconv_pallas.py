@@ -55,6 +55,30 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _collapsed_weight_matmul(wc, rhs, dims):
+    """One matmul over a combined weighted one-hot matrix ``wc`` (f32).
+
+    Weighted-SUM aggregations (the smoothness loss's gather and its
+    scatter VJP) commute with the round sum: sum_r w_r * (onehot_r @ F)
+    == (sum_r w_r * onehot_r) @ F, so ONE matmul replaces k per-round
+    one-hot matmuls — k-fold less MXU work. (The EdgeConv stages can't
+    use this: their round reduction is a max.) For a bf16 ``rhs`` the
+    f32 weights are split into bf16 hi + lo parts (two matmuls, error
+    ~2^-16 relative vs the exact-gather-then-f32-weight formulation —
+    below the paths' existing bf16 input rounding).
+    """
+    if rhs.dtype == jnp.bfloat16:
+        hi = wc.astype(jnp.bfloat16)
+        lo = (wc - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(hi, rhs, dimension_numbers=dims,
+                                  preferred_element_type=jnp.float32)
+        return out + jax.lax.dot_general(lo, rhs, dimension_numbers=dims,
+                                         preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(wc.astype(rhs.dtype), rhs,
+                               dimension_numbers=dims,
+                               preferred_element_type=jnp.float32)
+
+
 def _distance_tile(g_rows, g_all):
     d = -2.0 * jax.lax.dot_general(
         g_rows, g_all,
@@ -640,25 +664,21 @@ def _kernel_wagg(g_rows_ref, g_all_ref, f_all_ref, idx_ref, s_ref,
     rounds = _selection_rounds(x, col_ids, k, fast=fast, idx_bits=idx_bits,
                                n_pad=n_pad)
     idx_cols, w_cols = [], []
-    acc = jnp.zeros((tm, f_all.shape[-1]), jnp.float32)
-    for c0 in range(0, k, MM_CHUNK):
-        sels = []
-        for _ in range(min(MM_CHUNK, k - c0)):
-            idx, sel, sqd = next(rounds)
-            w = jnp.exp(-jnp.maximum(sqd, 0.0) * inv_gamma)  # [TM, 1] f32
-            idx_cols.append(idx)
-            w_cols.append(w)
-            sels.append((sel.astype(f_all.dtype), w))
-        for sel, w in sels:  # back-to-back MXU gathers (see MM_CHUNK)
-            gathered = jax.lax.dot_general(  # exact for bf16 f
-                sel, f_all,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc = acc + w * gathered  # weight in f32, AFTER the gather
+    # Accumulate ONE combined weighted one-hot matrix over the k selection
+    # rounds, then gather with a single (hi/lo-split) matmul — k-fold less
+    # MXU work than per-round gathers, and the MXU no longer serializes
+    # behind every selection round (_collapsed_weight_matmul).
+    wc = jnp.zeros((tm, n_pad), jnp.float32)
+    for _ in range(k):
+        idx, sel, sqd = next(rounds)
+        w = jnp.exp(-jnp.maximum(sqd, 0.0) * inv_gamma)  # [TM, 1] f32
+        idx_cols.append(idx)
+        w_cols.append(w)
+        wc = wc + jnp.where(sel, w, 0.0)
+    s_ref[0] = _collapsed_weight_matmul(
+        wc, f_all, (((1,), (0,)), ((), ())))
 
     idx_ref[0] = jnp.concatenate(idx_cols, axis=1)
-    s_ref[0] = acc
     w_ref[0] = jnp.concatenate(w_cols, axis=1)
 
 
@@ -794,16 +814,14 @@ def _kernel_wagg_pre(idx_ref, w_ref, f_all_ref, s_ref, *, k: int,
     f_all = f_all_ref[0]
     tm = idxs.shape[0]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
-    acc = jnp.zeros((tm, f_all.shape[-1]), jnp.float32)
+    # Combined weighted one-hot + ONE matmul (see _collapsed_weight_matmul)
+    # instead of k per-round gathers.
+    wc = jnp.zeros((tm, n_pad), jnp.float32)
     for r in range(k):
-        sel = (col_ids == idxs[:, r:r + 1]).astype(f_all.dtype)
-        gathered = jax.lax.dot_general(  # exact for bf16 f
-            sel, f_all,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc = acc + ws[:, r:r + 1] * gathered
-    s_ref[0] = acc
+        wc = wc + jnp.where(col_ids == idxs[:, r:r + 1],
+                            ws[:, r:r + 1], 0.0)
+    s_ref[0] = _collapsed_weight_matmul(
+        wc, f_all, (((1,), (0,)), ((), ())))
 
 
 @functools.partial(

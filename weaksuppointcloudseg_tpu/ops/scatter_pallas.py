@@ -30,6 +30,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import (
+    _collapsed_weight_matmul,
+)
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -96,16 +100,17 @@ def _scatter_w_kernel(idx_ref, w_ref, ct_ref, out_ref, *, n_pad: int, k: int,
     for t in range(tiles):
         idxt = _row_view(idx_ref, t, tm, tiles)                  # [TM, k]
         wt = _row_view(w_ref, t, tm, tiles)                      # [TM, k] f32
-        ct = _row_view(ct_ref, t, tm, tiles).astype(jnp.float32) # [TM, C]
+        ct = _row_view(ct_ref, t, tm, tiles)                     # [TM, C]
+        # The cotangent tile is SHARED by all k slots, so the round sum
+        # commutes with the matmul: out += (sum_j w_j onehot_j)^T @ ct —
+        # ONE (hi/lo-split for bf16) matmul instead of k (see
+        # edgeconv_pallas._collapsed_weight_matmul for the numerics).
+        wc = jnp.zeros((tm, n_pad), jnp.float32)
         for j in range(k):
-            onehot = (col_ids == idxt[:, j:j + 1]).astype(op_dtype)
-            ctj = (ct * wt[:, j:j + 1]).astype(op_dtype)
-            contrib = jax.lax.dot_general(
-                onehot, ctj,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc = acc + contrib
+            wc = wc + jnp.where(col_ids == idxt[:, j:j + 1],
+                                wt[:, j:j + 1], 0.0)
+        acc = acc + _collapsed_weight_matmul(
+            wc, ct.astype(op_dtype), (((0,), (0,)), ((), ())))
     out_ref[0] += acc
 
 
