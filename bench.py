@@ -164,7 +164,8 @@ def time_train_step(cfg, *, steps: int = 30, seed: int = 0) -> float:
     state = create_train_state(jax.random.PRNGKey(0), cfg)
     train_step = make_train_step(cfg)
     gate = np.float32(1.0)
-    keys = jax.random.split(jax.random.PRNGKey(1), steps + 1)
+    keys = jax.random.split(
+        jax.random.key(1, impl=cfg.train.rng_impl), steps + 1)
 
     state, metrics = train_step(state, batch, gate, keys[0])  # compile
     float(metrics["total"])  # sync

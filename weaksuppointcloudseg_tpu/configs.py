@@ -128,6 +128,13 @@ class TrainConfig:
     eval_every: int = 5
     seed: int = 0
     num_devices: int = 1  # data-parallel mesh size
+    # PRNG implementation for the training streams (dropout masks etc.).
+    # "rbg" rides XLA's hardware-accelerated RngBitGenerator — threefry
+    # mask generation measured 3.6 ms/step of the flagship train step on
+    # v5e (100.1 -> 96.5 ms); rbg's weaker split/fold_in independence
+    # guarantees are irrelevant for dropout. Set "threefry2x32" for
+    # bit-reproducibility with JAX's default streams.
+    rng_impl: str = "rbg"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -78,7 +78,12 @@ class _TrainerBase:
         self.np_rng = np.random.default_rng(seed)
         self.ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None
         self.epoch = 0
-        self._step_rng = jax.random.PRNGKey(seed + 1)
+        # Per-step stream (dropout masks): cfg.train.rng_impl — "rbg"
+        # rides the hardware RngBitGenerator (threefry mask generation
+        # measured 3.6 ms/step of the flagship step, configs.py). Param
+        # init above stays on the default threefry stream.
+        self._step_rng = jax.random.key(
+            seed + 1, impl=cfg.train.rng_impl)
 
     # -- helpers ----------------------------------------------------------
 
