@@ -139,7 +139,8 @@ def run_and_trace(dataset: str, steps: int, trace_dir: str) -> float:
     state = create_train_state(jax.random.PRNGKey(0), cfg)
     train_step = make_train_step(cfg)
     gate = np.float32(1.0)
-    keys = jax.random.split(jax.random.PRNGKey(1), steps + 1)
+    keys = jax.random.split(
+        jax.random.key(1, impl=cfg.train.rng_impl), steps + 1)
 
     state, metrics = train_step(state, batch, gate, keys[0])  # compile
     float(metrics["total"])  # sync (scalar fetch — see module docstring)
