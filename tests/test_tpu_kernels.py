@@ -637,7 +637,7 @@ def _learnable_shapenet(rng, n_samples, n_points, n_cat=4, parts_per=3):
     return np.stack(xs), np.stack(segs), np.asarray(cats, np.int32)
 
 
-def _train_and_eval_miou(compute_dtype, knn_fast, *, seed=0, epochs=12):
+def _train_and_eval_miou(compute_dtype, knn_fast, *, seed=0, epochs=24):
     """Seeded end-to-end training run -> final val per-shape mIoU."""
     import dataclasses
     from weaksuppointcloudseg_tpu import configs
@@ -661,8 +661,14 @@ def _train_and_eval_miou(compute_dtype, knn_fast, *, seed=0, epochs=12):
         train=dataclasses.replace(cfg.train, batch_size=bs, style="Full"),
     )
     rng = np.random.default_rng(seed)
-    xs, segs, cats = _learnable_shapenet(rng, 48, n_points, n_cat, parts_per)
-    vx, vseg, vcat = _learnable_shapenet(rng, 16, n_points, n_cat, parts_per)
+    # ONE generation, split train/val: _learnable_shapenet draws fresh
+    # category cluster centers per call, so two calls produce val shapes
+    # at entirely different locations — out-of-distribution for a model
+    # fed absolute xyz (this exact bug made every eval here ~chance).
+    xs_all, segs_all, cats_all = _learnable_shapenet(
+        rng, 64, n_points, n_cat, parts_per)
+    xs, segs, cats = xs_all[:48], segs_all[:48], cats_all[:48]
+    vx, vseg, vcat = xs_all[48:], segs_all[48:], cats_all[48:]
 
     state = create_train_state(jax.random.PRNGKey(seed), cfg)
     step = make_train_step(cfg)

@@ -110,8 +110,9 @@ def smooth_knn_laplacian(
     included, weight exp(0)=1).
 
     ``fused_bf16``: evaluate the loss from exp-weighted neighbor
-    AGGREGATES computed in one fused Pallas kernel (probabilities gathered
-    in bf16 — bit-exact per element; weights/accumulation f32), using
+    AGGREGATES computed in one fused Pallas kernel (bf16 probabilities,
+    the f32 weights riding inside a single hi/lo-split combined one-hot
+    matmul — ops/edgeconv_pallas.py::_collapsed_weight_matmul), using
 
         sum_j w_j |P_n - P_j|^2 = (sum_j w_j)|P_n|^2 - 2 P_n . s1_n + s2_n
         s1_n = sum_j w_j P_j,   s2_n = sum_j w_j |P_j|^2
@@ -120,9 +121,10 @@ def smooth_knn_laplacian(
     never exists — forward OR backward (the VJP scatters the k-fold
     smaller [B, N, K] cotangent, weighted by w). Matches the direct path
     up to bf16 rounding of |P_j|^2 (s2 gathers bf16(|P_j|^2 computed in
-    f32), the direct form squares the bf16-rounded P_j) plus f32
-    reassociation; per-point values are clamped at 0 so the rounding
-    cannot drive the loss negative. Used by
+    f32), the direct form squares the bf16-rounded P_j), the ~2^-16-
+    relative hi/lo weight split, and f32 reassociation; per-point values
+    are clamped at 0 so the rounding cannot drive the loss negative.
+    Used by
     the bf16 compute-dtype fast configs — measured 13.8 -> 6.0 ms
     fwd+bwd (incl. softmax) at B=64, N=2048, k=10, 50 classes vs the
     round-2 gather-then-diff fused kernel.
@@ -185,7 +187,15 @@ def smooth_knn_laplacian(
         d = jnp.maximum(d, 0.0)  # reference clamps negative fp error to 0
         neg_topk, idx = jax.lax.top_k(-d, k)  # [B, N, k]
         w = jnp.exp(neg_topk / gamma)
-    p_nbr = knn_ops.gather_neighbors(prob, idx)  # [B, N, k, K]
+    # Plain take_along_axis, NOT ops.gather_neighbors: the non-fused TPU
+    # composition (knn_pallas custom-call -> gather -> w*diff^2 backward
+    # through the Pallas one-hot scatter) crashes the axon TPU worker at
+    # specific shapes (reproduced at B=16, N=1024, K=12 grad; B=8/K=50/
+    # N=2048 all fine — a backend miscompile, docs/kernels.md). XLA's own
+    # gather/scatter backward is correct at every shape tested, and this
+    # f32 path is the parity/debug route, not the recommended fast config.
+    p_nbr = jnp.take_along_axis(
+        prob[:, :, None, :], idx[..., None], axis=1)  # [B, N, k, K]
     diff2 = jnp.mean(jnp.square(prob[:, :, None, :] - p_nbr), axis=-1)  # [B, N, k]
     loss = jnp.mean(w * diff2)
     if axis_name is not None:

@@ -79,6 +79,22 @@ def _collapsed_weight_matmul(wc, rhs, dims):
                                preferred_element_type=jnp.float32)
 
 
+def _accumulate_weight_onehot(idxs, ws, col_ids):
+    """Combined weighted one-hot matrix from (idx, w) columns.
+
+    wc[t, n] = sum_r ws[t, r] * 1[idxs[t, r] == n], f32 [TM, Np]. The
+    single input matrix for _collapsed_weight_matmul — shared by the
+    gather (_kernel_wagg_pre) and its VJP scatter (_scatter_w_kernel) so
+    the two sides can never desynchronize. Padded rows must carry
+    idx >= Np or w == 0 (both conventions in use).
+    """
+    wc = jnp.zeros(col_ids.shape, jnp.float32)
+    for r in range(idxs.shape[1]):
+        wc = wc + jnp.where(col_ids == idxs[:, r:r + 1],
+                            ws[:, r:r + 1], 0.0)
+    return wc
+
+
 def _distance_tile(g_rows, g_all):
     d = -2.0 * jax.lax.dot_general(
         g_rows, g_all,
@@ -760,10 +776,11 @@ def knn_weighted_gather(g, f, k: int, gamma: float, row_tile: int = 256,
     tensor — see losses/weaksup.py::smooth_knn_laplacian for the identity
     sum_j w_j (P_n - P_j)^2 = (sum_j w_j)|P_n|^2 - 2 P_n . s1 + s2.
 
-    The per-round gather is exact for bf16 ``f`` (one nonzero product per
-    output element); the exp weight is applied in f32 AFTER the gather, and
-    rounds accumulate in f32 — numerics match the unfused
-    gather-then-weight path up to f32 reassociation.
+    The selection rounds accumulate ONE combined weighted one-hot matrix
+    (sum_r w_r * onehot_r, f32) which gathers via a single hi/lo-split
+    bf16 matmul (_collapsed_weight_matmul) — k-fold less MXU work than
+    per-round gathers; numerics match the unfused gather-then-weight path
+    up to the ~2^-16-relative weight split plus f32 reassociation.
 
     Gradients: linear in f, so the VJP is the w-weighted scatter
     ``df[b, idx_j, :] += w_j * ds[b, n, :]`` (round-major Pallas kernel on
@@ -816,10 +833,7 @@ def _kernel_wagg_pre(idx_ref, w_ref, f_all_ref, s_ref, *, k: int,
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
     # Combined weighted one-hot + ONE matmul (see _collapsed_weight_matmul)
     # instead of k per-round gathers.
-    wc = jnp.zeros((tm, n_pad), jnp.float32)
-    for r in range(k):
-        wc = wc + jnp.where(col_ids == idxs[:, r:r + 1],
-                            ws[:, r:r + 1], 0.0)
+    wc = _accumulate_weight_onehot(idxs, ws, col_ids)
     s_ref[0] = _collapsed_weight_matmul(
         wc, f_all, (((1,), (0,)), ((), ())))
 
@@ -873,15 +887,19 @@ def weighted_gather_pre(idx, w, f, row_tile: int = 256,
     available from another kernel over the same coordinates: the ShapeNet
     Full-style smoothness loss reuses the transform branch's kNN (both are
     built on the raw xyz; the smooth k=10 list is the nearest-first prefix
-    of the transform's k=20 — identical selection semantics, so the loss
-    is bit-identical to recomputing, reference Util/SmoothConstraint.py:
-    140-158).
+    of the transform's k=20 — identical selection semantics, reference
+    Util/SmoothConstraint.py:140-158, though the stage builds distances
+    on bf16-cast coordinates so the reused weights differ from a
+    standalone f32-coordinate recompute within input rounding, ~4e-3
+    relative on the loss).
 
-    The per-round one-hot is rebuilt from idx (one compare pass/round vs
-    the selection's min+compare), the gather matmul is exact for bf16 f,
-    and weights apply in f32 after the gather. Gradients: linear in f —
-    the VJP is the w-weighted round-major Pallas scatter; idx/w carry no
-    gradient.
+    Numerics: the k per-round one-hots are accumulated into ONE combined
+    weighted one-hot matrix (k compare passes) and gathered with a single
+    hi/lo-split bf16 matmul (_collapsed_weight_matmul) — the f32 weights
+    ride inside the matmul split to ~2^-16 relative, NOT applied exactly
+    after an exact gather. Gradients: linear in f — the VJP is the
+    w-weighted Pallas scatter built from the SAME
+    _accumulate_weight_onehot matrix; idx/w carry no gradient.
     """
     return _wgather_pre_impl(
         jax.lax.stop_gradient(idx), jax.lax.stop_gradient(w),

@@ -31,6 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import (
+    _accumulate_weight_onehot,
     _collapsed_weight_matmul,
 )
 
@@ -105,10 +106,7 @@ def _scatter_w_kernel(idx_ref, w_ref, ct_ref, out_ref, *, n_pad: int, k: int,
         # commutes with the matmul: out += (sum_j w_j onehot_j)^T @ ct —
         # ONE (hi/lo-split for bf16) matmul instead of k (see
         # edgeconv_pallas._collapsed_weight_matmul for the numerics).
-        wc = jnp.zeros((tm, n_pad), jnp.float32)
-        for j in range(k):
-            wc = wc + jnp.where(col_ids == idxt[:, j:j + 1],
-                                wt[:, j:j + 1], 0.0)
+        wc = _accumulate_weight_onehot(idxt, wt, col_ids)
         acc = acc + _collapsed_weight_matmul(
             wc, ct.astype(op_dtype), (((0,), (0,)), ((), ())))
     out_ref[0] += acc

@@ -111,8 +111,8 @@ def _loss_fn(params, bn_state, batch, *, cfg, style, bn_decay, gate, rng,
             prob, batch["data"], gamma=w.smooth_gamma, k=w.smooth_knn,
             channels=w.smooth_channels,
             # bf16 compute configs run the fused distance+top-k+prob-gather
-            # kernel (neighbor probs round to bf16; weights stay f32);
-            # use_fused_knn=False forces the pure-XLA step everywhere
+            # kernel (bf16 probs, f32 weights hi/lo-split into the combined
+            # one-hot matmul); use_fused_knn=False forces pure-XLA everywhere
             fused_bf16=(cfg.model.use_fused_knn and
                         jnp.dtype(cfg.model.compute_dtype) == jnp.bfloat16),
             fast=cfg.model.knn_fast,
