@@ -12,10 +12,14 @@ is what the driver parses as the round's headline). Metrics:
 4. ``s3dis_full_train_throughput``    — S3DIS flagship (bs=14, N=4096,
                                train_script:4-5), points/s/chip.
 5. ``shapenet_plain_train_throughput`` — Plain style (seg loss only).
-6. ``xla_everywhere_baseline`` — the SAME flagship step with every Pallas
+6. ``shapenet_eval_forward_throughput`` — inference forward at the
+                               ShapeNet test shape (bs=32, N=3000).
+7. ``shapenet_test_e2e_throughput`` — the full test path: eval forward +
+                               dense-W CG label propagation.
+8. ``xla_everywhere_baseline`` — the SAME flagship step with every Pallas
                                kernel disabled and f32 compute: the
                                anchor-free denominator.
-7. ``shapenet_full_train_throughput`` — the flagship (train_script:1-2,
+9. ``shapenet_full_train_throughput`` — the flagship (train_script:1-2,
                                bs=32 x 2048 pts, bf16 + fast selection),
                                with BOTH ratios: ``vs_baseline`` against the
                                documented V100 reference estimate and
@@ -276,6 +280,65 @@ def main() -> None:
             emit("shapenet_plain_train_throughput",
                  unique_bs * n / plain_step, "points/sec/chip",
                  step_ms=round(plain_step * 1e3, 2))
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+
+        # --- inference: eval forward at the ShapeNet test shape, and the
+        # end-to-end test path (forward + matrix-free-CG label prop) ---
+        try:
+            import functools as _ft
+
+            from weaksuppointcloudseg_tpu.propagate.label_prop import (
+                propagate_batch,
+            )
+            from weaksuppointcloudseg_tpu.train.state import (
+                create_train_state,
+            )
+            from weaksuppointcloudseg_tpu.train.steps import make_eval_step
+
+            inf_bs, inf_n = 32, 3000
+            inf_cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, num_points=inf_n))
+            istate = create_train_state(jax.random.PRNGKey(0), inf_cfg)
+            ev = make_eval_step(inf_cfg)
+            rng_np = np.random.default_rng(0)
+            from weaksuppointcloudseg_tpu.utils.tools import onehot_encode
+            seg = rng_np.integers(0, cfg.model.num_classes, (inf_bs, inf_n))
+            vb = jax.device_put({
+                "data": rng_np.standard_normal(
+                    (inf_bs, inf_n, 3)).astype(np.float32),
+                "seg_onehot": onehot_encode(seg, cfg.model.num_classes),
+                "mask": np.ones((inf_bs, inf_n), np.float32),
+                "cat_onehot": onehot_encode(
+                    rng_np.integers(0, cfg.model.num_categories, (inf_bs,)),
+                    cfg.model.num_categories),
+            })
+            prob, _ = ev(istate, vb)
+            float(jnp.sum(prob))  # compile+sync
+            t0 = time.perf_counter()
+            for _ in range(10):
+                prob, _ = ev(istate, vb)
+            float(jnp.sum(prob))
+            fwd_s = (time.perf_counter() - t0) / 10
+            emit("shapenet_eval_forward_throughput",
+                 inf_bs * inf_n / fwd_s, "points/sec/chip",
+                 step_ms=round(fwd_s * 1e3, 2), chip_batch=inf_bs,
+                 n_points=inf_n)
+
+            # dense-W CG: the fast LP mode at the 3000-pt test shape
+            # (cg_matfree exists for the 32k+ long-context regime)
+            lp = propagate_batch(vb["data"], prob, solver="cg")
+            float(jnp.sum(lp))
+            t0 = time.perf_counter()
+            for _ in range(10):
+                prob, _ = ev(istate, vb)
+                lp = propagate_batch(vb["data"], prob, solver="cg")
+            float(jnp.sum(lp))
+            e2e_s = (time.perf_counter() - t0) / 10
+            emit("shapenet_test_e2e_throughput",
+                 inf_bs * inf_n / e2e_s, "points/sec/chip",
+                 step_ms=round(e2e_s * 1e3, 2), solver="cg",
+                 note="eval forward + label propagation")
         except Exception:
             traceback.print_exc(file=sys.stderr)
 

@@ -72,6 +72,28 @@ class TestShapeNetTraining:
         assert last["seg"] < first["seg"]
         assert tr.epoch == 6
 
+    def test_eval_quality_after_training(self, tmp_path):
+        """Population-BN-stats eval must track training quality: train the
+        tiny model until train acc is high, then assert the trainer's
+        evaluate() (training=False forward — population stats, no dropout)
+        scores well on the val split. Guards the whole moving-stats +
+        eval-forward path — a regression there leaves every train-time
+        metric healthy while eval silently returns ~chance (exactly how
+        the round-3 convergence-test val-data bug stayed hidden)."""
+        cfg = tiny_shapenet_cfg("Plain", batch_size=4)
+        d = str(tmp_path / "sn_eval")
+        shapenet.write_synthetic(d, num_points=64, train_samples=32,
+                                 val_samples=16, test_samples=2, seed=0)
+        ds = shapenet.ShapeNetDataset(d)
+        tr = ShapeNetTrainer(cfg, ds, None, seed=0)
+        for _ in range(30):
+            m = tr.train_epoch()
+        assert m["acc"] > 0.55, f"undertrained: {m}"
+        loss, acc, perdata, pershape = tr.evaluate()
+        assert acc > 0.5, f"population-stats eval acc collapsed: {acc}"
+        assert float(np.mean(pershape)) > 0.35, (
+            f"eval mIoU collapsed: {float(np.mean(pershape))}")
+
     def test_threefry_rng_impl_compat(self, shapenet_dir):
         """The bit-reproducibility opt-out (configs.py TrainConfig.rng_impl
         = "threefry2x32") still trains: the default per-step stream is
