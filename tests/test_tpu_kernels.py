@@ -773,6 +773,23 @@ def test_cls_fused_path_on_device():
     assert np.abs(gt).max() > 0, "transform-net grads are zero (miscompile?)"
 
 
+def test_smooth_f32_grad_no_worker_crash():
+    """Regression for a backend fault: the f32 (non-fused) smooth loss's
+    gradient at EXACTLY B=16, N=1024, K=12 crashed the TPU worker when its
+    neighbor gather backward ran through the Pallas one-hot scatter in the
+    same module as the knn_pallas custom call (B=8 / K=50 / N=2048 were all
+    fine — an axon miscompile). The loss now gathers via take_along_axis
+    so XLA owns the gather/scatter pair; this pins the crashing shape."""
+    from weaksuppointcloudseg_tpu.losses import weaksup
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((16, 1024, 12)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((16, 1024, 3)), jnp.float32)
+    g = jax.jit(jax.grad(lambda l: weaksup.smooth_knn_laplacian(
+        jax.nn.softmax(l, -1), x, gamma=0.1, k=10, fused_bf16=False)))(logits)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_smooth_graph_reuse_matches_standalone_on_device(monkeypatch):
     """The Full-style step's smoothness loss computed from the REUSED
     transform-stage kNN graph (models/dgcnn.py want_smooth_graph ->
