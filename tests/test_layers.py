@@ -136,6 +136,29 @@ class TestModelInventory:
         assert "transform_net" not in params
         assert "cat_embed" not in params
 
+    def test_s3dis_unnorm_xyz_graph_variant(self):
+        """The reference's dormant get_model_unnormXYZ (DGCNN_S3DIS.py:
+        106-186 — kNN graph on the RAW xyz channels 0:3 instead of the
+        normalized 6:9; defined but never called) is this framework's
+        s3dis preset with knn_channels=(0, 3). The graph choice must
+        actually change the output."""
+        from weaksuppointcloudseg_tpu.models.dgcnn import apply_dgcnn_seg
+
+        base = configs.s3dis_config().model
+        base = dataclasses.replace(
+            base, num_points=32, edge_channels=((8, 8), (8, 8), (8,)),
+            global_channels=16, head_channels=(16, 8), k=4)
+        un = dataclasses.replace(base, knn_channels=(0, 3))
+        params, state = init_dgcnn_seg(jax.random.PRNGKey(0), base)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 32, 9)), jnp.float32)
+        y_norm, _ = apply_dgcnn_seg(params, state, x, None, cfg=base,
+                                    training=False, bn_decay=None)
+        y_raw, _ = apply_dgcnn_seg(params, state, x, None, cfg=un,
+                                   training=False, bn_decay=None)
+        assert y_raw.shape == y_norm.shape == (2, 32, 13)
+        assert not np.allclose(np.asarray(y_raw), np.asarray(y_norm))
+
 
 class TestEdgeConvDecomposition:
     def test_matches_conv_of_edge_features(self, rng):
