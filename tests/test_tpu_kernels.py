@@ -208,6 +208,37 @@ def test_scatter_s3dis_shape_compiles_on_device():
     np.testing.assert_allclose(got, want, atol=5e-3 * scale)
 
 
+def test_scatter_odd_n_tile_alignment_on_device():
+    """Regression: at N=3000 (the ShapeNet test shape — n_pad=3072) the
+    VMEM-budget row-tile clamp produced tm=341, not a multiple of 8, and
+    Pallas refused to lower the block shape. Both scatters must compile
+    at a non-128-multiple N and match XLA."""
+    from weaksuppointcloudseg_tpu.ops.scatter_pallas import (
+        scatter_add_pallas,
+        scatter_add_weighted_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    b, n, k, c = 2, 3000, 10, 56
+    idx = jax.device_put(rng.integers(0, n, (b, n, k)).astype(np.int32))
+    bidx = jnp.arange(b)[:, None, None]
+
+    ct4 = jax.device_put(
+        rng.standard_normal((b, n, k, c)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    got = np.asarray(scatter_add_pallas(idx, ct4, n).astype(jnp.float32))
+    want = np.asarray(jnp.zeros((b, n, c), jnp.float32).at[bidx, idx].add(
+        ct4.astype(jnp.float32)))
+    np.testing.assert_allclose(got, want, atol=5e-3 * np.abs(want).max())
+
+    w = jax.device_put(rng.uniform(0.1, 1.0, (b, n, k)).astype(np.float32))
+    ct = jax.device_put(rng.standard_normal((b, n, c)).astype(np.float32))
+    got_w = np.asarray(scatter_add_weighted_pallas(idx, w, ct, n))
+    want_w = np.asarray(jnp.zeros((b, n, c), jnp.float32).at[bidx, idx].add(
+        w[..., None] * ct[:, :, None, :]))
+    np.testing.assert_allclose(got_w, want_w, atol=5e-3 * np.abs(want_w).max())
+
+
 def test_weighted_gather_aggregates_on_device(data):
     """Compiled knn_weighted_gather vs separate exact kNN + gather-then-
     weight on the chip; also the weighted-scatter VJP vs XLA scatter."""
