@@ -1,0 +1,72 @@
+"""On-device shape-robustness sweep: one train step + sync per config.
+
+Each case runs in a SUBPROCESS so a TPU worker crash (a backend fault,
+not a Python exception) fails only that case and the sweep continues.
+This harness found two real round-3 bugs: the f32 smooth-loss
+composition that crashed the worker at B=16/N=1024/K=12 (fixed in
+losses/weaksup.py) and the non-8-aligned scatter row tiles at N=3000
+(fixed in ops/scatter_pallas.py). Extend CASES when adding kernels or
+supported shapes; run on the bench chip:
+
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/shape_sweep.py
+"""
+import sys, subprocess, itertools, json
+
+CASES = []
+for dtype, fast in (("float32", False), ("bfloat16", True)):
+    for bs, n, k in [(4, 512, 13), (8, 1024, 13), (16, 1024, 50),
+                     (8, 4096, 13), (16, 2048, 50), (4, 3000, 50)]:
+        CASES.append((dtype, fast, bs, n, k))
+
+if len(sys.argv) > 1:
+    dtype, fast, bs, n, k = sys.argv[1], sys.argv[2] == "True", int(sys.argv[3]), int(sys.argv[4]), int(sys.argv[5])
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import dataclasses
+    import numpy as np, jax
+    from weaksuppointcloudseg_tpu import configs
+    from weaksuppointcloudseg_tpu.train.state import create_train_state
+    from weaksuppointcloudseg_tpu.train.steps import make_train_step
+    from weaksuppointcloudseg_tpu.utils.tools import onehot_encode
+
+    cfg = configs.shapenet_config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, num_points=n, num_classes=k, num_categories=4,
+            compute_dtype=dtype, knn_fast=fast),
+        train=dataclasses.replace(cfg.train, batch_size=bs, style="Full"),
+    )
+    rng = np.random.default_rng(0)
+    seg = rng.integers(0, k, (2 * bs, n)).astype(np.int32)
+    batch = jax.device_put({
+        "data": rng.standard_normal((2 * bs, n, 3)).astype(np.float32),
+        "seg": seg, "seg_onehot": onehot_encode(seg, k),
+        "mask": (rng.uniform(size=seg.shape) < 0.2).astype(np.float32),
+        "cat_onehot": onehot_encode(rng.integers(0, 4, (2 * bs,)), 4),
+        "valid": np.ones((2 * bs,), np.float32),
+    })
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_train_step(cfg)
+    key = jax.random.key(1, impl=cfg.train.rng_impl)
+    state, metrics = step(state, batch, np.float32(1.0), key)
+    tot = float(metrics["total"])
+    assert np.isfinite(tot), f"non-finite loss {tot}"
+    print(f"PASS {dtype} fast={fast} bs={bs} N={n} K={k} loss={tot:.3f}")
+    sys.exit(0)
+
+import os
+env = dict(os.environ)
+fails = 0
+for c in CASES:
+    r = subprocess.run(
+        [sys.executable, __file__, c[0], str(c[1]), str(c[2]), str(c[3]), str(c[4])],
+        capture_output=True, text=True, timeout=900, env=env)
+    line = [l for l in r.stdout.splitlines() if l.startswith("PASS")]
+    if r.returncode == 0 and line:
+        print(line[0], flush=True)
+    else:
+        fails += 1
+        print(f"FAIL {c}: rc={r.returncode}", flush=True)
+        print((r.stderr or "")[-800:], flush=True)
+print("sweep done,", fails, "failures")

@@ -47,6 +47,35 @@ def test_weighted_scatter_matches_xla(rng):
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("tiles", [1, 2])
+def test_scatter_tiles_per_step(rng, tiles):
+    """Multi-point-tile grid steps (tiles_per_step=2, off by default) must
+    match the single-tile result for BOTH scatter kernels — the collapsed
+    weighted one-hot rewrite changed the per-tile loop bodies."""
+    from weaksuppointcloudseg_tpu.ops.scatter_pallas import (
+        scatter_add_weighted_pallas,
+    )
+
+    b, p, k, c, n = 2, 128, 5, 9, 64
+    idx = jnp.asarray(rng.integers(0, n, (b, p, k)), jnp.int32)
+    bidx = jnp.arange(b)[:, None, None]
+
+    g4 = jnp.asarray(rng.standard_normal((b, p, k, c)), jnp.float32)
+    got = np.asarray(scatter_add_pallas(
+        idx, g4, n, tile_rows=32, tiles_per_step=tiles, interpret=True))
+    want = jnp.zeros((b, n, c), jnp.float32).at[bidx, idx].add(g4)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    w = jnp.asarray(rng.uniform(0, 1, (b, p, k)), jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((b, p, c)), jnp.float32)
+    got_w = np.asarray(scatter_add_weighted_pallas(
+        idx, w, ct, n, tile_rows=32, tiles_per_step=tiles, interpret=True))
+    want_w = jnp.zeros((b, n, c), jnp.float32).at[bidx, idx].add(
+        w[..., None] * ct[:, :, None, :])
+    np.testing.assert_allclose(got_w, np.asarray(want_w), rtol=1e-5,
+                               atol=1e-5)
+
+
 def test_weighted_scatter_ragged_rows(rng):
     """Padded rows (p not a tile multiple) must contribute nothing."""
     from weaksuppointcloudseg_tpu.ops.scatter_pallas import (
