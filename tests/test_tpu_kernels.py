@@ -761,6 +761,39 @@ def test_fast_config_convergence_matches_parity_on_device():
 
 
 
+def test_s3dis_fast_config_convergence_on_device(tmp_path):
+    """Seeded accuracy regression for the S3DIS flagship fast config
+    (bf16 + fused kernels + packed-min selection, Full style, the second
+    dataset's recommended production config): the trainer must converge
+    on the learnable synthetic block set (data/s3dis.py::write_synthetic,
+    z-correlated labels). Measured 53.3% val mIoU at 24 epochs / ~43 s on
+    v5e; the bar leaves a wide run-to-run band."""
+    import dataclasses
+
+    from weaksuppointcloudseg_tpu import configs
+    from weaksuppointcloudseg_tpu.data import s3dis
+    from weaksuppointcloudseg_tpu.train.loop import S3DISTrainer
+
+    d = str(tmp_path / "s3c")
+    s3dis.write_synthetic(d, num_rooms_per_area=6, blocks_per_room=8,
+                          num_points=1024, areas=(1, 5), seed=0)
+    cfg = configs.s3dis_config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, num_points=1024,
+                                  compute_dtype="bfloat16", knn_fast=True),
+        train=dataclasses.replace(cfg.train, batch_size=8, style="Full",
+                                  rampup=2),
+        weaksup=dataclasses.replace(cfg.weaksup, rampup=2),
+    )
+    tr = S3DISTrainer(cfg, s3dis.S3DISDataset(d), None, test_area=5, seed=0)
+    for ep in range(24):
+        tr.train_epoch(ep)
+    _, acc, miou, _ = tr.evaluate()
+    assert miou > 0.35, f"S3DIS fast config failed to converge: mIoU {miou}"
+    assert acc > 0.5, f"S3DIS fast config low val acc: {acc}"
+
+
 def test_cls_fused_path_on_device():
     """bf16 classifier fused path: logits match the f32 straight path and
     gradients are NONZERO for the first stage's weights (the straight bf16
