@@ -286,8 +286,6 @@ def main() -> None:
         # --- inference: eval forward at the ShapeNet test shape, and the
         # end-to-end test path (forward + matrix-free-CG label prop) ---
         try:
-            import functools as _ft
-
             from weaksuppointcloudseg_tpu.propagate.label_prop import (
                 propagate_batch,
             )
@@ -304,9 +302,15 @@ def main() -> None:
             rng_np = np.random.default_rng(0)
             from weaksuppointcloudseg_tpu.utils.tools import onehot_encode
             seg = rng_np.integers(0, cfg.model.num_classes, (inf_bs, inf_n))
+            # pc_normalize'd geometry (like time_lp): raw gaussian coords
+            # make exp(-1e3 d) affinities ~0 and CG converges trivially,
+            # understating the real LP cost
+            xyz = rng_np.standard_normal((inf_bs, inf_n, 3)).astype(
+                np.float32)
+            xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True).max(
+                1, keepdims=True)
             vb = jax.device_put({
-                "data": rng_np.standard_normal(
-                    (inf_bs, inf_n, 3)).astype(np.float32),
+                "data": xyz,
                 "seg_onehot": onehot_encode(seg, cfg.model.num_classes),
                 "mask": np.ones((inf_bs, inf_n), np.float32),
                 "cat_onehot": onehot_encode(
@@ -326,13 +330,18 @@ def main() -> None:
                  n_points=inf_n)
 
             # dense-W CG: the fast LP mode at the 3000-pt test shape
-            # (cg_matfree exists for the 32k+ long-context regime)
-            lp = propagate_batch(vb["data"], prob, solver="cg")
+            # (cg_matfree exists for the 32k+ long-context regime). The
+            # untrained model's near-uniform softmax zeroes the entropy
+            # confidences (degenerate rhs), so sharpen the probabilities
+            # to a trained-like distribution before timing
+            prob_t = jax.nn.softmax(jnp.log(prob + 1e-9) * 5.0, axis=-1)
+            lp = propagate_batch(vb["data"], prob_t, solver="cg")
             float(jnp.sum(lp))
             t0 = time.perf_counter()
             for _ in range(10):
                 prob, _ = ev(istate, vb)
-                lp = propagate_batch(vb["data"], prob, solver="cg")
+                prob_t = jax.nn.softmax(jnp.log(prob + 1e-9) * 5.0, axis=-1)
+                lp = propagate_batch(vb["data"], prob_t, solver="cg")
             float(jnp.sum(lp))
             e2e_s = (time.perf_counter() - t0) / 10
             emit("shapenet_test_e2e_throughput",

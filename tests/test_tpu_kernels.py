@@ -238,6 +238,17 @@ def test_scatter_odd_n_tile_alignment_on_device():
         w[..., None] * ct[:, :, None, :]))
     np.testing.assert_allclose(got_w, want_w, atol=5e-3 * np.abs(want_w).max())
 
+    # the forward gather had the same unaligned clamp (tile_flat=682)
+    from weaksuppointcloudseg_tpu.ops.gather_pallas import gather_rows_pallas
+
+    fsrc = jax.device_put(
+        rng.standard_normal((b, n, 64)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    got_g = np.asarray(gather_rows_pallas(fsrc, idx), np.float32)
+    want_g = np.asarray(fsrc, np.float32)[
+        np.arange(b)[:, None, None], np.asarray(idx)]
+    np.testing.assert_allclose(got_g, want_g, atol=0)  # 0/1 one-hot: exact
+
 
 def test_weighted_gather_aggregates_on_device(data):
     """Compiled knn_weighted_gather vs separate exact kNN + gather-then-

@@ -55,6 +55,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def aligned_tile_rows(tile_rows: int, vmem_limit: int) -> int:
+    """VMEM-budget row-tile clamp, 8-aligned.
+
+    Pallas requires the second-to-last block dimension to be a multiple
+    of 8 (or the full array dim); a raw ``min(tile_rows, budget)`` clamp
+    produced tm=341 at N=3000 (round-up padding 3072) and refused to
+    lower. Every VMEM-capped kernel tile must round DOWN through this
+    helper (floor 8 keeps the tile legal for any budget).
+    """
+    return max(8, min(tile_rows, vmem_limit) // 8 * 8)
+
+
 def _collapsed_weight_matmul(wc, rhs, dims):
     """One matmul over a combined weighted one-hot matrix ``wc`` (f32).
 

@@ -18,6 +18,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import aligned_tile_rows
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -50,8 +52,10 @@ def gather_rows_pallas(
     nk = n * k
     idx_f = idx.reshape(b, nk, 1)
     n_pad = _round_up(n, 128)
-    # cap the [tile_flat, n_pad] one-hot at ~4 MB of VMEM (see scatter)
-    tile_flat = max(256, min(tile_flat, (4 << 20) // (2 * n_pad)))
+    # cap the [tile_flat, n_pad] one-hot at ~4 MB of VMEM (see scatter);
+    # 8-aligned or Pallas refuses to lower (tile_flat=682 at N=3000)
+    tile_flat = max(256, aligned_tile_rows(tile_flat,
+                                           (4 << 20) // (2 * n_pad)))
     nk_pad = _round_up(nk, tile_flat)
     if nk_pad != nk:
         idx_f = jnp.pad(idx_f, ((0, 0), (0, nk_pad - nk), (0, 0)))

@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import (
     _accumulate_weight_onehot,
     _collapsed_weight_matmul,
+    aligned_tile_rows,
 )
 
 
@@ -200,7 +201,7 @@ def scatter_bn_bwd_pallas(
     c = y.shape[-1]
     sparse = isinstance(big, tuple)
     n_pad = _round_up(n, 128)
-    tm = max(8, min(tile_rows, (4 << 20) // (4 * n_pad)) // 8 * 8)  # 8-aligned rows (Pallas block-shape rule; 341-row tiles at N=3000 fail to lower)
+    tm = aligned_tile_rows(tile_rows, (4 << 20) // (4 * n_pad))
     tiles = max(1, min(tiles_per_step, max(1, p // tm)))
     tr = tiles * tm
     p_pad = _round_up(p, tr)
@@ -286,7 +287,7 @@ def scatter_add_weighted_pallas(
     b, p, k = idx.shape
     c = ct.shape[-1]
     n_pad = _round_up(n, 128)
-    tm = max(8, min(tile_rows, (4 << 20) // (4 * n_pad)) // 8 * 8)  # 8-aligned rows (Pallas block-shape rule; 341-row tiles at N=3000 fail to lower)
+    tm = aligned_tile_rows(tile_rows, (4 << 20) // (4 * n_pad))
     tiles = max(1, min(tiles_per_step, max(1, p // tm)))
     tr = tiles * tm
     p_pad = _round_up(p, tr)
@@ -343,7 +344,7 @@ def scatter_add_pallas(
     c = g.shape[-1]
     n_pad = _round_up(n, 128)
     # [TM, n_pad] int32 iota + transient mask in VMEM; cap at ~4 MB
-    tm = max(8, min(tile_rows, (4 << 20) // (4 * n_pad)) // 8 * 8)  # 8-aligned rows (Pallas block-shape rule; 341-row tiles at N=3000 fail to lower)
+    tm = aligned_tile_rows(tile_rows, (4 << 20) // (4 * n_pad))
     tiles = max(1, min(tiles_per_step, max(1, p // tm)))
     tr = tiles * tm
     p_pad = _round_up(p, tr)
