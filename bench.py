@@ -23,7 +23,7 @@ is what the driver parses as the round's headline). Metrics:
                                bs=32 x 2048 pts, bf16 + fast selection),
                                with BOTH ratios: ``vs_baseline`` against the
                                documented V100 reference estimate and
-                               ``vs_xla_everywhere`` against metric 6
+                               ``vs_xla_everywhere`` against metric 8
                                measured in the same run on the same chip.
 
 Baseline anchor (documented estimate, BASELINE.md): the reference TF1 DGCNN

@@ -82,6 +82,18 @@ def _capture(fn, argv):
     return buf.getvalue()
 
 
+def _parse_metrics(pattern: str, out: str) -> "re.Match":
+    """re.search that fails loudly: the test CLIs' printed metric line is
+    this script's interface, and a silent None would crash with an opaque
+    AttributeError AFTER the (up to 201-epoch) training run finished."""
+    mm = re.search(pattern, out)
+    if mm is None:
+        raise RuntimeError(
+            "could not parse the test CLI output (expected %r); output "
+            "was:\n%s" % (pattern, out[-2000:]))
+    return mm
+
+
 def run_shapenet(args) -> dict:
     from weaksuppointcloudseg_tpu.cli import test_shapenet, train_shapenet
 
@@ -104,8 +116,8 @@ def run_shapenet(args) -> dict:
     out = _capture(test_shapenet.main, [
         "-dt", _stamp(rdir), "-style", "Full", "--DataPath", data]
         + (["--num_points", "96"] if args.smoke else []))
-    mm = re.search(r"perdata mIoU ([\d.]+)%\s+pershape mIoU ([\d.]+)%\s+"
-                   r"acc ([\d.]+)%", out)
+    mm = _parse_metrics(r"perdata mIoU ([\d.]+)%\s+pershape mIoU "
+                        r"([\d.]+)%\s+acc ([\d.]+)%", out)
     return {"dataset": "ShapeNet", "config": f"m={m} Full bs={bs} ep={epochs}",
             "perdata_miou": mm.group(1), "pershape_miou": mm.group(2),
             "acc": mm.group(3), "result_dir": rdir}
@@ -137,7 +149,7 @@ def run_s3dis(args) -> dict:
     out = _capture(test_s3dis.main, [
         "-dt", _stamp(rdir), "-style", "Full", "-ta", "5",
         "--DataPath", data, "--RoomsPath", rooms])
-    mm = re.search(r"mIoU ([\d.]+)%\s+acc ([\d.]+)%", out)
+    mm = _parse_metrics(r"mIoU ([\d.]+)%\s+acc ([\d.]+)%", out)
     return {"dataset": "S3DIS (Area 5)",
             "config": f"m={m} Full bs={bs} ep={epochs} ta=5",
             "miou": mm.group(1), "acc": mm.group(2), "result_dir": rdir}

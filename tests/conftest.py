@@ -32,3 +32,19 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+class FakeTpuJax:
+    """Proxy of the jax module whose default_backend claims TPU.
+
+    Monkeypatch it over a module's ``jax`` attribute to flip that module's
+    backend-gated paths (and only that module's — op-library dispatch keeps
+    seeing the real CPU backend) without hardware. Shared by the bf16
+    hard-error and fake-TPU-mesh tests."""
+
+    @staticmethod
+    def default_backend():
+        return "tpu"
+
+    def __getattr__(self, name):
+        return getattr(jax, name)

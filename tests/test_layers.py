@@ -264,24 +264,12 @@ class TestKnownBadBf16Guard:
     gradients on the TPU backend (docs/kernels.md); configs that would
     reach it must hard-error unless explicitly overridden."""
 
-    class _FakeTpuJax:
-        """Proxy of the jax module whose default_backend claims TPU.
-
-        Patched onto the *model modules only*, so op-library dispatch
-        (ops/neighbors.py etc.) still sees the real CPU backend and the
-        forward runs on the XLA path."""
-
-        @staticmethod
-        def default_backend():
-            return "tpu"
-
-        def __getattr__(self, name):
-            return getattr(jax, name)
-
     def _fake_tpu_backend(self, monkeypatch):
         import weaksuppointcloudseg_tpu.models.dgcnn as dgcnn_mod
 
-        monkeypatch.setattr(dgcnn_mod, "jax", self._FakeTpuJax())
+        from conftest import FakeTpuJax
+
+        monkeypatch.setattr(dgcnn_mod, "jax", FakeTpuJax())
 
     def test_seg_raises_on_straight_bf16(self, monkeypatch, rng):
         from weaksuppointcloudseg_tpu.models.dgcnn import (
@@ -326,7 +314,9 @@ class TestKnownBadBf16Guard:
     def test_cls_raises_on_bf16(self, monkeypatch, rng):
         import weaksuppointcloudseg_tpu.models.dgcnn_cls as cls_mod
 
-        monkeypatch.setattr(cls_mod, "jax", self._FakeTpuJax())
+        from conftest import FakeTpuJax
+
+        monkeypatch.setattr(cls_mod, "jax", FakeTpuJax())
         # the fused path (use_fused_knn=True) is immune by construction;
         # only the straight composition must raise
         cfg = cls_mod.ClsConfig(use_fused_knn=False)

@@ -268,15 +268,9 @@ def test_fused_bf16_multi_device_routes_shardmap(shapenet_dir, monkeypatch):
     collectives end-to-end."""
     import weaksuppointcloudseg_tpu.train.loop as loop_mod
 
-    class _FakeTpuJax:
-        @staticmethod
-        def default_backend():
-            return "tpu"
+    from conftest import FakeTpuJax
 
-        def __getattr__(self, name):
-            return getattr(jax, name)
-
-    monkeypatch.setattr(loop_mod, "jax", _FakeTpuJax())
+    monkeypatch.setattr(loop_mod, "jax", FakeTpuJax())
     ds = shapenet.ShapeNetDataset(shapenet_dir)
     cfg = tiny_shapenet_cfg("Plain", batch_size=8)
     cfg = dataclasses.replace(

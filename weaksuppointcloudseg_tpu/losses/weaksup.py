@@ -160,6 +160,11 @@ def smooth_knn_laplacian(
         f = jnp.concatenate([prob, q[..., None]], axis=-1).astype(
             jnp.bfloat16)
         if graph is not None:
+            if graph[0].shape[-1] < k:
+                raise ValueError(
+                    f"precomputed graph has k'={graph[0].shape[-1]} "
+                    f"neighbors but the loss needs k={k}; the k-nearest "
+                    "prefix reuse requires k' >= k")
             idx = jax.lax.stop_gradient(graph[0])[:, :, :k]
             sqd = jax.lax.stop_gradient(graph[1])[:, :, :k]
             w = jnp.exp(-jnp.maximum(sqd, 0.0) / gamma)  # f32, grad-free
