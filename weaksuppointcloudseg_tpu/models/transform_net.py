@@ -52,10 +52,11 @@ def apply_transform_net(
     want_graph: bool = False,  # also return the stage's (idx, sqd) kNN graph
 ):
     """Returns (transform [B, K, K], new BN state); with ``want_graph``
-    (fused training path only) appends the tconv stage's gradient-free kNN
-    graph (idx [B, N, k] int32, sqd [B, N, k] f32) — built on the raw
+    (fused path only) appends the tconv stage's gradient-free kNN graph
+    (idx [B, N, k] int32, sqd [B, N, k] f32) — built on the raw
     ``fused_graph`` coordinates, reusable by the smoothness loss whose
-    graph lives on the same coordinates (losses/weaksup.py)."""
+    graph lives on the same coordinates (losses/weaksup.py) and by the
+    static-graph mode's EdgeConv stages (ModelConfig.static_graph)."""
     new_state = {}
     graph = None
     kw = dict(training=training, bn_decay=bn_decay, eps=bn_eps,

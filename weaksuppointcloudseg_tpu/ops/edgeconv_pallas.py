@@ -673,6 +673,237 @@ def _knn_edge_bwd(k, row_tile, interpret, fast, res, cts):
 knn_edge_gather.defvjp(_knn_edge_fwd, _knn_edge_bwd)
 
 
+def _kernel_edge_pre(idx_rows_ref, v_all_ref, u_rows_ref, y_ref, mom_ref,
+                     ymax_ref, amax_ref, ymin_ref, amin_ref, *, k: int,
+                     n_valid: int, n_pad: int, tiles: int = 1):
+    """``_kernel_edge`` with the kNN graph PRECOMPUTED (static-graph mode).
+
+    The distance matmul, the packing pass, and the per-round min-reduce +
+    knockout of ``_selection_rounds`` (~3 VPU passes/round over [TM, Np])
+    are replaced by ONE broadcast-compare per round rebuilding the one-hot
+    mask from ``idx`` — the MXU gather+conv, the in-kernel moments, and
+    the optional per-channel k-extrema are identical to the selecting
+    kernel, so the outputs match it bit-for-bit given the same indices.
+    """
+    v_all = v_all_ref[0]
+    tm = idx_rows_ref.shape[1] // tiles
+    co = v_all.shape[-1]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
+    minmax = ymax_ref is not None
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _():
+        mom_ref[...] = jnp.zeros_like(mom_ref)
+
+    ysum = jnp.zeros((1, co), jnp.float32)
+    ysq = jnp.zeros((1, co), jnp.float32)
+    for t in range(tiles):
+        rs = slice(t * tm, (t + 1) * tm)
+        # tiles == 1 must load/store full blocks (degenerate-slice Mosaic
+        # pathology — see _kernel_edge / scatter_pallas._row_view)
+        one = tiles == 1
+        idxs = idx_rows_ref[0] if one else idx_rows_ref[0, rs]  # [tm, k]
+        u32 = (u_rows_ref[0] if one else u_rows_ref[0, rs]).astype(
+            jnp.float32)
+
+        row_valid = None
+        if n_valid < n_pad:
+            # padded rows carry idx 0 and would gather real rows: mask
+            # their y so the moment accumulators stay clean
+            i = pl.program_id(1)
+            row_ids = (jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
+                       + i * tiles * tm + t * tm)
+            row_valid = row_ids < n_valid
+
+        y_slabs = []
+        ymax = ymin = amax = amin = None
+        for c0 in range(0, k, MM_CHUNK):
+            sels = [
+                (col_ids == idxs[:, r:r + 1]).astype(v_all.dtype)
+                for r in range(c0, min(c0 + MM_CHUNK, k))
+            ]
+            for sel in sels:  # back-to-back MXU gather+conv (see MM_CHUNK)
+                gath = jax.lax.dot_general(
+                    sel, v_all,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                y = (gath + u32).astype(v_all.dtype)
+                if row_valid is not None:
+                    y = jnp.where(row_valid, y, jnp.zeros_like(y))
+                y32 = y.astype(jnp.float32)
+                ysum = ysum + jnp.sum(y32, axis=0, keepdims=True)
+                ysq = ysq + jnp.sum(jnp.square(y32), axis=0, keepdims=True)
+                if minmax:
+                    j = len(y_slabs)
+                    if j == 0:
+                        ymax = ymin = y32
+                        amax = amin = jnp.zeros_like(y32, jnp.int32)
+                    else:
+                        gt = y32 > ymax
+                        lt = y32 < ymin
+                        jvec = jnp.full(y32.shape, j, jnp.int32)
+                        ymax = jnp.where(gt, y32, ymax)
+                        amax = jnp.where(gt, jvec, amax)
+                        ymin = jnp.where(lt, y32, ymin)
+                        amin = jnp.where(lt, jvec, amin)
+                y_slabs.append(y)
+        if minmax:
+            if one:
+                ymax_ref[0] = ymax.astype(v_all.dtype)
+                amax_ref[0] = amax
+                ymin_ref[0] = ymin.astype(v_all.dtype)
+                amin_ref[0] = amin
+            else:
+                ymax_ref[0, rs] = ymax.astype(v_all.dtype)
+                amax_ref[0, rs] = amax
+                ymin_ref[0, rs] = ymin.astype(v_all.dtype)
+                amin_ref[0, rs] = amin
+        if one:
+            y_ref[0] = jnp.concatenate(y_slabs, axis=1)
+        else:
+            y_ref[0, rs] = jnp.concatenate(y_slabs, axis=1)
+
+    pad = jnp.zeros((6, co), jnp.float32)
+    mom_ref[...] += jnp.concatenate([ysum, ysq, pad], axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "row_tile", "interpret", "with_minmax",
+                     "tiles_per_step"))
+def _knn_edge_pre_impl(idx, v, u, k: int, row_tile: int, interpret: bool,
+                       with_minmax: bool = False, tiles_per_step: int = 2):
+    b, n, cg_k = idx.shape
+    assert cg_k == k
+    co = v.shape[-1]
+    co_pad = _round_up(co, 8)
+    if co_pad != co:
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, co_pad - co)))
+        u = jnp.pad(u, ((0, 0), (0, 0), (0, co_pad - co)))
+    # same row-tile formula as _knn_edge_impl: the per-round [tm, Np] sel
+    # mask replaces the f32 distance tile (same footprint in f32 terms)
+    tm = min(row_tile, _round_up(n, 8))
+    budget = (4 << 20) * max(1, (row_tile + 255) // 256)
+    tm = max(8, min(tm, _round_up(budget // (4 * max(n, 1)), 8)))
+    tiles = max(1, min(tiles_per_step, max(1, n // tm)))
+    tr = tiles * tm
+    n_pad = _round_up(n, tr)
+    if n_pad != n:
+        idx = jnp.pad(idx, ((0, 0), (0, n_pad - n), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, n_pad - n), (0, 0)))
+        u = jnp.pad(u, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    base = functools.partial(
+        _kernel_edge_pre, k=k, n_valid=n, n_pad=n_pad, tiles=tiles)
+    if with_minmax:
+        kernel = base
+    else:
+        kernel = functools.partial(
+            base, ymax_ref=None, amax_ref=None, ymin_ref=None, amin_ref=None)
+    row_spec = pl.BlockSpec((1, tr, co_pad), lambda bi, i: (bi, i, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [
+        pl.BlockSpec((1, tr, k * co_pad), lambda bi, i: (bi, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, co_pad), lambda bi, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, n_pad, k * co_pad), v.dtype),
+        jax.ShapeDtypeStruct((8, co_pad), jnp.float32),
+    ]
+    if with_minmax:
+        out_specs += [row_spec, row_spec, row_spec, row_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((b, n_pad, co_pad), v.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, co_pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, n_pad, co_pad), v.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, co_pad), jnp.int32),
+        ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, n_pad // tr),
+        in_specs=[
+            pl.BlockSpec((1, tr, k), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, co_pad), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr, co_pad), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(32 << 20) * max(
+                1, (row_tile + 255) // 256) * tiles),
+    )(idx, v, u)
+    y, mom = outs[0], outs[1]
+    y = y[:, :n].reshape(b, n, k, co_pad)
+    if co_pad != co:
+        y = y[..., :co]
+    if with_minmax:
+        sl = (slice(None), slice(0, n), slice(0, co))
+        return (y, mom[:2, :co], outs[2][sl], outs[3][sl], outs[4][sl],
+                outs[5][sl])
+    return y, mom[:2, :co]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def knn_edge_gather_pre(idx, v, u, k: int, row_tile: int = 256,
+                        interpret: bool = False):
+    """``knn_edge_gather`` from a PRECOMPUTED kNN graph (static-graph mode).
+
+    ``y[b,n,j,:] = v[b, idx[b,n,j], :] + u[b,n,:]`` plus the in-kernel BN
+    moment sums — the gather+conv half of the fused kNN+first-conv kernel
+    with the distance/selection half skipped (one one-hot rebuild compare
+    per round instead of ~3 selection passes). Used by the opt-in
+    ``ModelConfig.static_graph`` mode, where EdgeConv stages past the
+    first reuse the input-coordinate graph instead of recomputing kNN in
+    feature space (the reference always recomputes — dynamic graph,
+    Networks/dgcnn/utils/tf_util.py:638-706; static graph is a documented
+    speed/accuracy trade, NOT reference parity).
+
+    Gradients: identical to knn_edge_gather's (y linear in v, u; idx
+    carries none). Returns (y [B,N,k,Co], mom f32 [2, Co]).
+    """
+    return _knn_edge_pre_impl(
+        jax.lax.stop_gradient(idx), jax.lax.stop_gradient(v),
+        jax.lax.stop_gradient(u), k, row_tile, interpret)
+
+
+def _knn_edge_pre_fwd(idx, v, u, k, row_tile, interpret):
+    out = _knn_edge_pre_impl(
+        jax.lax.stop_gradient(idx), jax.lax.stop_gradient(v),
+        jax.lax.stop_gradient(u), k, row_tile, interpret)
+    y, _ = out
+    return out, (idx, y, jnp.zeros_like(v), jnp.zeros_like(u))
+
+
+def _knn_edge_pre_bwd(k, row_tile, interpret, res, cts):
+    idx, y, v_zeros, u_zeros = res
+    dy, dmom = cts
+    y32 = y.astype(jnp.float32)
+    dy_eff = (dy.astype(jnp.float32) + dmom[0]
+              + 2.0 * y32 * dmom[1]).astype(y.dtype)
+    du = jnp.sum(dy_eff.astype(jnp.float32), axis=2).astype(u_zeros.dtype)
+    b, n, _ = v_zeros.shape
+    if not interpret and jax.default_backend() in ("tpu", "axon"):
+        from weaksuppointcloudseg_tpu.ops.scatter_pallas import (
+            scatter_add_pallas,
+        )
+
+        dv = scatter_add_pallas(idx, dy_eff, n).astype(v_zeros.dtype)
+    else:
+        bidx = jnp.arange(b)[:, None, None]
+        dv = v_zeros.at[bidx, idx].add(dy_eff.astype(v_zeros.dtype))
+    return (None, dv, du)
+
+
+knn_edge_gather_pre.defvjp(_knn_edge_pre_fwd, _knn_edge_pre_bwd)
+
+
 def _kernel_wagg(g_rows_ref, g_all_ref, f_all_ref, idx_ref, s_ref,
                  w_ref, *, k: int, n_valid: int, n_pad: int, fast: bool,
                  idx_bits: int, inv_gamma: float):
