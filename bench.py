@@ -12,6 +12,9 @@ is what the driver parses as the round's headline). Metrics:
 4. ``s3dis_full_train_throughput``    — S3DIS flagship (bs=14, N=4096,
                                train_script:4-5), points/s/chip.
 5. ``shapenet_plain_train_throughput`` — Plain style (seg loss only).
+5b. ``shapenet_full_train_throughput_static_graph`` — the opt-in
+                               static-graph turbo mode (ModelConfig.
+                               static_graph; NOT reference parity).
 6. ``shapenet_eval_forward_throughput`` — inference forward at the
                                ShapeNet test shape (bs=32, N=3000).
 7. ``shapenet_test_e2e_throughput`` — the full test path: eval forward +
@@ -280,6 +283,22 @@ def main() -> None:
             emit("shapenet_plain_train_throughput",
                  unique_bs * n / plain_step, "points/sec/chip",
                  step_ms=round(plain_step * 1e3, 2))
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+
+        # --- static-graph turbo mode (opt-in, NOT reference parity: the
+        # input-coordinate kNN graph is reused by every EdgeConv stage
+        # instead of per-stage feature-space recomputation; synthetic
+        # convergence sits at the lower edge of the dynamic-graph
+        # run-to-run band — docs/kernels.md round 3) ---
+        try:
+            sg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, static_graph=True))
+            sg_step = time_train_step(sg, steps=20)
+            emit("shapenet_full_train_throughput_static_graph",
+                 unique_bs * n / sg_step, "points/sec/chip",
+                 step_ms=round(sg_step * 1e3, 2),
+                 note="opt-in speed/accuracy trade (ModelConfig.static_graph)")
         except Exception:
             traceback.print_exc(file=sys.stderr)
 

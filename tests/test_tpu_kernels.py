@@ -679,7 +679,8 @@ def _learnable_shapenet(rng, n_samples, n_points, n_cat=4, parts_per=3):
     return np.stack(xs), np.stack(segs), np.asarray(cats, np.int32)
 
 
-def _train_and_eval_miou(compute_dtype, knn_fast, *, seed=0, epochs=24):
+def _train_and_eval_miou(compute_dtype, knn_fast, *, seed=0, epochs=24,
+                         static_graph=False):
     """Seeded end-to-end training run -> final val per-shape mIoU."""
     import dataclasses
     from weaksuppointcloudseg_tpu import configs
@@ -699,7 +700,7 @@ def _train_and_eval_miou(compute_dtype, knn_fast, *, seed=0, epochs=24):
         model=dataclasses.replace(
             cfg.model, num_points=n_points, num_classes=n_cls,
             num_categories=n_cat, compute_dtype=compute_dtype,
-            knn_fast=knn_fast),
+            knn_fast=knn_fast, static_graph=static_graph),
         train=dataclasses.replace(cfg.train, batch_size=bs, style="Full"),
     )
     rng = np.random.default_rng(seed)
@@ -923,3 +924,51 @@ def test_smooth_graph_reuse_matches_standalone_on_device(monkeypatch):
     np.testing.assert_allclose(r1["smooth"], b1["smooth"], rtol=2e-2)
     # step 2 params differ only through the tiny smooth-grad delta
     np.testing.assert_allclose(r2["total"], b2["total"], rtol=1e-3)
+
+
+def test_knn_edge_pre_matches_selecting_on_device(data):
+    """Compiled static-graph kernel (_knn_edge_pre_impl) fed the selecting
+    kernel's own indices: y / moments / minmax bit-identical on the chip
+    (the one-hot rebuild and the selection's winner masks drive the same
+    MXU gathers). Microbench at the flagship shape (B=64, N=2048, k=20,
+    C=64 bf16): 9.4 ms vs 11.9 selecting — the ~2.5 ms/stage the
+    static-graph mode removes (docs/kernels.md round 3)."""
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import (
+        _knn_edge_impl,
+        _knn_edge_pre_impl,
+    )
+
+    k = 20
+    g = data["fb16"]
+    rng = np.random.default_rng(7)
+    v = jax.device_put(
+        rng.standard_normal((B, N, C)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    u = jax.device_put(
+        rng.standard_normal((B, N, C)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    outs = _knn_edge_impl(g, v, u, k, 256, False, True, with_minmax=True)
+    idx, y, mom = outs[0], outs[1], outs[2]
+    pre = _knn_edge_pre_impl(idx, v, u, k, 256, False, with_minmax=True)
+    np.testing.assert_array_equal(
+        np.asarray(pre[0].astype(jnp.float32)),
+        np.asarray(y.astype(jnp.float32)))
+    np.testing.assert_allclose(np.asarray(pre[1]), np.asarray(mom),
+                               rtol=1e-6)
+    for got, want in zip(pre[2:], outs[3:7]):
+        np.testing.assert_array_equal(
+            np.asarray(got.astype(jnp.float32)),
+            np.asarray(want.astype(jnp.float32)))
+
+
+def test_static_graph_convergence_on_device():
+    """Seeded accuracy evidence for the opt-in static-graph turbo mode
+    (ModelConfig.static_graph): bf16 + fast + static graph must LEARN on
+    the learnable synthetic set. Measured A/B over seeds {0, 1}: static
+    0.757 / 0.750 vs dynamic 0.754 / 0.824 val mIoU — static sits at the
+    lower edge of the dynamic run-to-run band (hence opt-in, not the
+    default; DGCNN's dynamic-graph ablation shows the same direction).
+    Step time 96.7 -> 89.3 ms on the v5e flagship."""
+    miou = _train_and_eval_miou("bfloat16", True, static_graph=True)
+    assert miou > 0.5, f"static-graph config failed to learn: {miou}"

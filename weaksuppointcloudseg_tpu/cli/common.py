@@ -32,6 +32,22 @@ def base_parser(dataset: str, *, train: bool) -> argparse.ArgumentParser:
     p.add_argument("--num_devices", type=int, default=0,
                    help="data-parallel mesh size (0 = single device)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--Precision", type=str, default=None,
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype for matmul-heavy ops (params / BN "
+                        "stats / logits stay fp32). Default keeps the "
+                        "preset's float32 reference-parity path; bfloat16 "
+                        "+ --FastKNN is the recommended TPU production "
+                        "config (docs/kernels.md)")
+    p.add_argument("--FastKNN", action="store_true",
+                   help="packed-min top-k selection (~10%% faster step; "
+                        "near-tie neighbors may reorder, 98.7-99.7%% index "
+                        "agreement)")
+    p.add_argument("--StaticGraph", action="store_true",
+                   help="opt-in static-graph EdgeConv: ONE input-coordinate "
+                        "kNN graph reused by every stage (NOT reference "
+                        "parity — speed/accuracy trade, docs/kernels.md). "
+                        "Test with the same flag the model trained with")
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="capture a jax.profiler device trace into DIR "
                         "(training: one post-compile epoch; view with "
@@ -141,8 +157,16 @@ def build_config(args, dataset: str) -> configs.ExperimentConfig:
     labelprop = cfg.labelprop
     if getattr(args, "LPSolver", None):
         labelprop = dataclasses.replace(labelprop, solver=args.LPSolver)
-    return dataclasses.replace(cfg, train=train, schedule=schedule,
-                               weaksup=weaksup, labelprop=labelprop)
+    model = cfg.model
+    if getattr(args, "Precision", None):
+        model = dataclasses.replace(model, compute_dtype=args.Precision)
+    if getattr(args, "FastKNN", False):
+        model = dataclasses.replace(model, knn_fast=True)
+    if getattr(args, "StaticGraph", False):
+        model = dataclasses.replace(model, static_graph=True)
+    return dataclasses.replace(cfg, model=model, train=train,
+                               schedule=schedule, weaksup=weaksup,
+                               labelprop=labelprop)
 
 
 def result_base_path(dataset: str, args) -> str:
