@@ -35,6 +35,16 @@ for solver, n in [("solve", 1234), ("cg", 1234), ("cg_matfree", 1234),
 for dtype, n in [("bfloat16", 1500), ("bfloat16", 3000),
                  ("float32", 1234), ("bfloat16", 777)]:
     CASES.append(("fwd", dtype, dtype == "bfloat16", 4, n, 50))
+# static-graph mode (ModelConfig.static_graph): the idx-driven pre
+# kernels at odd N (pad rows) + the f32 gather_neighbors fallback
+CASES += [
+    ("train_sg", "bfloat16", True, 4, 3000, 50),
+    ("train_sg", "bfloat16", True, 8, 1024, 13),
+    ("train_sg", "float32", False, 4, 1024, 13),
+    ("s3dis_sg", "bfloat16", True, 2, 3000, 13),
+    ("fwd_sg", "bfloat16", True, 4, 3000, 50),
+    ("fwd_sg", "bfloat16", True, 4, 777, 50),
+]
 
 if len(sys.argv) > 1:
     kind, dtype, fast, bs, n, k = (sys.argv[1], sys.argv[2],
@@ -67,10 +77,12 @@ if len(sys.argv) > 1:
         print(f"PASS lp {dtype} N={n}")
         sys.exit(0)
 
+    static_graph = kind.endswith("_sg")
+    kind = kind[:-3] if static_graph else kind
     cfg = (configs.s3dis_config() if kind == "s3dis"
            else configs.shapenet_config())
     model_kw = dict(num_points=n, num_classes=k, compute_dtype=dtype,
-                    knn_fast=fast)
+                    knn_fast=fast, static_graph=static_graph)
     if kind != "s3dis":
         model_kw["num_categories"] = 4
     cfg = dataclasses.replace(

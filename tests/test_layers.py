@@ -501,3 +501,35 @@ class TestStaticGraphModel:
                                training=False, bn_decay=0.9)
         # same weights, different graphs for stages 2+: outputs differ
         assert float(jnp.max(jnp.abs(logits_s - logits_d))) > 1e-6
+
+
+def test_cls_static_graph_cpu(rng):
+    """ClsConfig.static_graph: train grads flow + eval finite on the
+    CPU/XLA path (the fused path shares the seg nets' reuse_idx stages,
+    covered by TestStaticGraphStages + the device suite)."""
+    from weaksuppointcloudseg_tpu.models.dgcnn_cls import (
+        ClsConfig,
+        apply_dgcnn_cls,
+        classification_loss,
+        init_dgcnn_cls,
+    )
+
+    cfg = ClsConfig(static_graph=True)
+    params, state = init_dgcnn_cls(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.standard_normal((2, 48, 3)), jnp.float32)
+    labels = jnp.asarray([3, 7])
+
+    def loss(p):
+        logits, _ = apply_dgcnn_cls(p, state, x, cfg=cfg, training=True,
+                                    bn_decay=0.9, rng=jax.random.PRNGKey(2))
+        return classification_loss(logits, labels)
+
+    l, g = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(l))
+    # every stage conv must receive gradient through the reused graph
+    for i in range(len(cfg.edge_channels)):
+        gi = g[f"dgcnn{i + 1}"]["w"]
+        assert float(jnp.sum(jnp.abs(gi))) > 0.0, f"dgcnn{i + 1} dead"
+    logits, _ = apply_dgcnn_cls(params, state, x, cfg=cfg, training=False,
+                                bn_decay=0.9)
+    assert bool(jnp.all(jnp.isfinite(logits)))

@@ -37,6 +37,9 @@ class ClsConfig:
     use_fused_knn: bool = True
     # packed-min top-k selection (see ModelConfig.knn_fast)
     knn_fast: bool = False
+    # one input-coordinate kNN graph reused by every EdgeConv stage
+    # (see ModelConfig.static_graph — opt-in speed/accuracy trade)
+    static_graph: bool = False
     # see ModelConfig.allow_known_bad_bf16: with use_fused_knn=False, bf16
     # training on a TPU backend hits the straight conv+BN+k-max
     # zero-gradient miscompile (docs/kernels.md); the fused path is immune
@@ -106,16 +109,26 @@ def apply_dgcnn_cls(
     kw = dict(training=training, bn_decay=bn_decay, eps=cfg.bn_eps,
               axis_name=axis_name)
 
+    static_idx = None  # static-graph mode: one graph for every stage
     if fused_tpu:
-        transform, new_state["transform_net"] = apply_transform_net(
+        touts = apply_transform_net(
             params["transform_net"], state["transform_net"], None,
             K=3, training=training, bn_decay=bn_decay, bn_eps=cfg.bn_eps,
             fused_graph=x, k=cfg.k, fast=cfg.knn_fast,
-            axis_name=axis_name,
+            axis_name=axis_name, want_graph=cfg.static_graph,
         )
+        transform, new_state["transform_net"] = touts[:2]
+        if cfg.static_graph:
+            static_idx = touts[2][0]
     else:
-        ef = knn_ops.edge_feature_auto(x, x, cfg.k,
-                                       use_fused=cfg.use_fused_knn)
+        if cfg.static_graph:
+            static_idx = (
+                knn_ops.knn_graph_fused(x, cfg.k, fast=cfg.knn_fast)
+                if cfg.use_fused_knn else knn_ops.knn_graph(x, cfg.k))
+            ef = knn_ops.edge_feature(x, static_idx)
+        else:
+            ef = knn_ops.edge_feature_auto(x, x, cfg.k,
+                                           use_fused=cfg.use_fused_knn)
         transform, new_state["transform_net"] = apply_transform_net(
             params["transform_net"], state["transform_net"], ef,
             K=3, training=training, bn_decay=bn_decay, bn_eps=cfg.bn_eps,
@@ -133,9 +146,11 @@ def apply_dgcnn_cls(
         if fused_tpu:
             feat, new_state[name] = layers.apply_edge_conv_stage1_fused(
                 params[name], state[name], feat, feat, cfg.k,
-                fast=cfg.knn_fast, **kw)
+                fast=cfg.knn_fast, reuse_idx=static_idx, **kw)
         else:
-            h = knn_ops.edge_feature(feat, knn_graph(feat, cfg.k))
+            idx = (static_idx if static_idx is not None
+                   else knn_graph(feat, cfg.k))
+            h = knn_ops.edge_feature(feat, idx)
             h, new_state[name] = layers.apply_conv(params[name], state[name],
                                                    h, **kw)
             feat = jnp.max(h, axis=2)  # [B, N, C]
