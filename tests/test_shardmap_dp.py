@@ -313,3 +313,54 @@ def test_shardmap_eval_step_matches_jit_step(mesh):
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(prob1), np.asarray(prob8),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_whole_stage_pre_fused_dp(mesh, rng):
+    """Static-graph 2-conv stage (reuse_idx): the pre kernel's in-kernel
+    BN moments must psum identically to the selecting stage's under DP."""
+    b, n, k, c, c2 = 8, 32, 4, 8, 10
+    f = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    R = jnp.asarray(rng.standard_normal((b, n, c2)), jnp.float32)
+    idx = knn_ops.knn_graph(g, k)
+    p1, p2 = _mk_params(2 * c, c2, 5), _mk_params(c2, c2, 6)
+    st = {"mean": jnp.zeros((c2,)), "var": jnp.ones((c2,))}
+
+    def local(axis_name, p1, p2, f, idx, R):
+        def loss_fn(p1, p2, f):
+            out, ns1, ns2 = layers.apply_edge_conv_stage_fused(
+                p1, st, p2, st, f, None, k, interpret=True,
+                reuse_idx=idx, axis_name=axis_name, **KW)
+            return jnp.sum(out * R), (ns1, ns2)
+        (l, aux), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True)(p1, p2, f)
+        return l, aux, (grads[0], grads[1], grads[2])
+
+    single, sharded = _run_block(mesh, local, (p1, p2), (f, idx, R))
+    # db1/db2 cancel to ~0 over the random-sign cotangent: the psum's
+    # reassociation noise needs a slightly higher absolute floor
+    _compare(single, sharded, atol=1e-4)
+
+
+def test_stage1_pre_fused_dp(mesh, rng):
+    """Static-graph single-conv stage (reuse_idx) under DP."""
+    b, n, k, c, c2 = 8, 32, 4, 10, 12
+    f = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    R = jnp.asarray(rng.standard_normal((b, n, c2)), jnp.float32)
+    idx = knn_ops.knn_graph(g, k)
+    p1 = _mk_params(2 * c, c2, 7)
+    st = {"mean": jnp.zeros((c2,)), "var": jnp.ones((c2,))}
+
+    def local(axis_name, p1, f, idx, R):
+        def loss_fn(p1, f):
+            out, ns = layers.apply_edge_conv_stage1_fused(
+                p1, st, f, None, k, interpret=True, reuse_idx=idx,
+                axis_name=axis_name, **KW)
+            return jnp.sum(out * R), ns
+        (l, aux), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(p1, f)
+        return l, aux, grads
+
+    single, sharded = _run_block(mesh, local, (p1,), (f, idx, R))
+    _compare(single, sharded, atol=1e-4)
