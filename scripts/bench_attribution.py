@@ -115,7 +115,8 @@ def attribute(trace_dir: str, steps: int, *, top: int = 25):
     return bucket_ms, top_ops, device_track
 
 
-def run_and_trace(dataset: str, steps: int, trace_dir: str) -> float:
+def run_and_trace(dataset: str, steps: int, trace_dir: str,
+                  static_graph: bool = False) -> float:
     """Run the flagship train step under the profiler; returns wall s/step."""
     import jax
     import numpy as np
@@ -135,6 +136,9 @@ def run_and_trace(dataset: str, steps: int, trace_dir: str) -> float:
         )
     else:
         cfg = bench.flagship_config()
+    if static_graph:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, static_graph=True))
     batch = bench.make_train_batch(cfg.model, cfg.train.batch_size)
     state = create_train_state(jax.random.PRNGKey(0), cfg)
     train_step = make_train_step(cfg)
@@ -163,6 +167,8 @@ def main() -> None:
     p.add_argument("--top", type=int, default=25,
                    help="how many individual ops to list")
     p.add_argument("--keep-trace", action="store_true")
+    p.add_argument("--static-graph", action="store_true",
+                   help="attribute the opt-in static-graph turbo config")
     p.add_argument("--parse-only", metavar="DIR", default=None,
                    help="skip running; parse an existing trace dir "
                         "(e.g. from a train CLI's --profile). --steps must "
@@ -173,7 +179,8 @@ def main() -> None:
         trace_dir, wall = args.parse_only, None
     else:
         trace_dir = tempfile.mkdtemp(prefix="wspc_attr_")
-        wall = run_and_trace(args.dataset, args.steps, trace_dir)
+        wall = run_and_trace(args.dataset, args.steps, trace_dir,
+                             static_graph=args.static_graph)
         print(f"wall: {wall * 1e3:.1f} ms/step over {args.steps} steps")
 
     bucket_ms, top_ops, track = attribute(trace_dir, args.steps, top=args.top)

@@ -483,20 +483,60 @@ class TestStaticGraphModel:
                              training=False, bn_decay=0.9)
         assert bool(jnp.all(jnp.isfinite(logits)))
 
-    def test_static_graph_is_the_input_graph(self, rng):
-        """With static_graph, every stage's neighborhood comes from the
-        input coordinates: moving ONE point far away changes which points
-        see it in EVERY stage identically to recomputing the input kNN —
-        verified by checking the dynamic model DIVERGES from the static
-        one on features (stages 2+ would re-select neighbors) while the
-        static model matches a manual single-graph composition."""
+    def test_static_graph_is_the_input_graph(self, rng, monkeypatch):
+        """With static_graph (S3DIS preset, non-fused path), the ONLY kNN
+        computation is the one on the input coordinates (channels 6:9),
+        and every stage gathers along exactly that graph — verified by
+        capturing the knn/gather call arguments. Also: the static model
+        must diverge from the dynamic one (stages 2+ would otherwise
+        re-select neighbors in feature space)."""
         import weaksuppointcloudseg_tpu.ops.neighbors as knn_ops
-        from weaksuppointcloudseg_tpu.models.dgcnn import apply_dgcnn_seg
 
         apply_fn, cfg, params, state, x, cat = self._setup(rng, False)
-        cfg_dyn = dataclasses.replace(cfg, static_graph=False)
+
+        graphs, gathers = [], []
+        real_fused, real_graph = knn_ops.knn_graph_fused, knn_ops.knn_graph
+        real_gather = knn_ops.gather_neighbors
+
+        def spy_fused(g, k, fast=False):
+            idx = real_fused(g, k, fast=fast)
+            graphs.append((np.asarray(g), np.asarray(idx)))
+            return idx
+
+        def spy_graph(g, k):
+            idx = real_graph(g, k)
+            graphs.append((np.asarray(g), np.asarray(idx)))
+            return idx
+
+        def spy_gather(f, idx):
+            gathers.append(np.asarray(idx))
+            return real_gather(f, idx)
+
+        monkeypatch.setattr(knn_ops, "knn_graph_fused", spy_fused)
+        monkeypatch.setattr(knn_ops, "knn_graph", spy_graph)
+        monkeypatch.setattr(knn_ops, "gather_neighbors", spy_gather)
+
         logits_s, _ = apply_fn(params, state, x, cat, cfg=cfg,
                                training=False, bn_decay=0.9)
+        # exactly ONE graph computation, on the input's kNN channels
+        # (spy_fused falls back to the patched knn_graph off-TPU, so the
+        # same build may be recorded twice — dedupe identical entries)
+        uniq = []
+        for g, idx in graphs:
+            if not any(g.shape == ug.shape and np.array_equal(g, ug)
+                       for ug, _ in uniq):
+                uniq.append((g, idx))
+        assert len(uniq) == 1, f"{len(uniq)} distinct graphs built"
+        g_src, idx = uniq[0]
+        lo, hi = cfg.knn_channels
+        np.testing.assert_array_equal(g_src, np.asarray(x)[..., lo:hi])
+        # every stage gathered along exactly that graph
+        assert len(gathers) == len(cfg.edge_channels)
+        for gi in gathers:
+            np.testing.assert_array_equal(gi, idx)
+
+        monkeypatch.undo()
+        cfg_dyn = dataclasses.replace(cfg, static_graph=False)
         logits_d, _ = apply_fn(params, state, x, cat, cfg=cfg_dyn,
                                training=False, bn_decay=0.9)
         # same weights, different graphs for stages 2+: outputs differ

@@ -229,12 +229,11 @@ def apply_dgcnn_seg(
             not fused_tpu or len(cfg.edge_channels[0]) != 2):
         # no transform branch to produce the graph and no fused stage-0
         # producer (only the two-conv fused stage emits its graph): one
-        # standalone kNN on the input coordinates
+        # standalone kNN on the input coordinates (knn_graph_fused falls
+        # back to the XLA path off-TPU itself)
         static_idx = (
             knn_ops.knn_graph_fused(graph_feat, cfg.k, fast=cfg.knn_fast)
-            if cfg.use_fused_knn
-            and jax.default_backend() in ("tpu", "axon")
-            else knn_ops.knn_graph(graph_feat, cfg.k))
+            if cfg.use_fused_knn else knn_ops.knn_graph(graph_feat, cfg.k))
     conv_i = 1
     stage_outputs = []
     for s_i, widths in enumerate(cfg.edge_channels):
@@ -256,6 +255,9 @@ def apply_dgcnn_seg(
             # custom-VJP block over two Pallas kernels: only the raw
             # first-conv output reaches HBM (layers.apply_edge_conv_stage_fused)
             name2 = f"adj_conv{conv_i + 1}"
+            # want_graph also emits sqd, unused in static-graph mode — an
+            # extra [B, N, k] f32 write, ~0.02 ms/step at the S3DIS
+            # flagship shape; not worth an idx-only kernel mode
             produce_graph = cfg.static_graph and static_idx is None
             outs = layers.apply_edge_conv_stage_fused(
                 params[name], state[name], params[name2], state[name2],

@@ -128,7 +128,8 @@ def apply_dgcnn_cls(
             ef = knn_ops.edge_feature(x, static_idx)
         else:
             ef = knn_ops.edge_feature_auto(x, x, cfg.k,
-                                           use_fused=cfg.use_fused_knn)
+                                           use_fused=cfg.use_fused_knn,
+                                           fast=cfg.knn_fast)
         transform, new_state["transform_net"] = apply_transform_net(
             params["transform_net"], state["transform_net"], ef,
             K=3, training=training, bn_decay=bn_decay, bn_eps=cfg.bn_eps,
@@ -137,8 +138,11 @@ def apply_dgcnn_cls(
     x = jnp.einsum("bnc,bcd->bnd", x, transform.astype(x.dtype),
                    preferred_element_type=jnp.float32).astype(x.dtype)
 
-    knn_graph = (knn_ops.knn_graph_fused if cfg.use_fused_knn
-                 else knn_ops.knn_graph)
+    if cfg.use_fused_knn:
+        def knn_graph(x_, k_):
+            return knn_ops.knn_graph_fused(x_, k_, fast=cfg.knn_fast)
+    else:
+        knn_graph = knn_ops.knn_graph
     feat = x
     stage_outputs = []
     for i in range(len(cfg.edge_channels)):

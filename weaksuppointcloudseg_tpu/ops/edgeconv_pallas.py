@@ -781,11 +781,11 @@ def _knn_edge_pre_impl(idx, v, u, k: int, row_tile: int, interpret: bool,
     if co_pad != co:
         v = jnp.pad(v, ((0, 0), (0, 0), (0, co_pad - co)))
         u = jnp.pad(u, ((0, 0), (0, 0), (0, co_pad - co)))
-    # same row-tile formula as _knn_edge_impl: the per-round [tm, Np] sel
-    # mask replaces the f32 distance tile (same footprint in f32 terms)
-    tm = min(row_tile, _round_up(n, 8))
+    # same VMEM model as _knn_edge_impl: the per-round [tm, Np] sel mask
+    # replaces the f32 distance tile (same footprint in f32 terms)
     budget = (4 << 20) * max(1, (row_tile + 255) // 256)
-    tm = max(8, min(tm, _round_up(budget // (4 * max(n, 1)), 8)))
+    tm = aligned_tile_rows(min(row_tile, _round_up(n, 8)),
+                           budget // (4 * max(n, 1)))
     tiles = max(1, min(tiles_per_step, max(1, n // tm)))
     tr = tiles * tm
     n_pad = _round_up(n, tr)
