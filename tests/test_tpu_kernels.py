@@ -661,98 +661,9 @@ def test_conv_nmax_on_device(data):
     close(db, jnp.sum(dy, axis=(0, 1)), 2e-2)
 
 
-def _learnable_shapenet(rng, n_samples, n_points, n_cat=4, parts_per=3):
-    """In-memory learnable synthetic part-seg set (z-split part labels
-    within per-category Gaussian clusters — same recipe as
-    data/shapenet.py::write_synthetic)."""
-    xs, segs, cats = [], [], []
-    centers = rng.standard_normal((n_cat, 3)) * 2.0
-    for i in range(n_samples):
-        c = int(rng.integers(0, n_cat))
-        pts = centers[c] + rng.standard_normal((n_points, 3)) * 0.5
-        z = pts[:, 2]
-        q = np.quantile(z, np.linspace(0, 1, parts_per + 1)[1:-1])
-        part = np.searchsorted(q, z)
-        xs.append(pts.astype(np.float32))
-        segs.append((c * parts_per + part).astype(np.int32))
-        cats.append(c)
-    return np.stack(xs), np.stack(segs), np.asarray(cats, np.int32)
-
-
-def _train_and_eval_miou(compute_dtype, knn_fast, *, seed=0, epochs=24,
-                         static_graph=False):
-    """Seeded end-to-end training run -> final val per-shape mIoU."""
-    import dataclasses
-    from weaksuppointcloudseg_tpu import configs
-    from weaksuppointcloudseg_tpu.metrics.iou import eval_iou
-    from weaksuppointcloudseg_tpu.train.state import create_train_state
-    from weaksuppointcloudseg_tpu.train.steps import (
-        make_eval_step,
-        make_train_step,
-    )
-    from weaksuppointcloudseg_tpu.utils.tools import onehot_encode
-
-    n_cat, parts_per, n_points, bs = 4, 3, 1024, 8
-    n_cls = n_cat * parts_per
-    cfg = configs.shapenet_config()
-    cfg = dataclasses.replace(
-        cfg,
-        model=dataclasses.replace(
-            cfg.model, num_points=n_points, num_classes=n_cls,
-            num_categories=n_cat, compute_dtype=compute_dtype,
-            knn_fast=knn_fast, static_graph=static_graph),
-        train=dataclasses.replace(cfg.train, batch_size=bs, style="Full"),
-    )
-    rng = np.random.default_rng(seed)
-    # ONE generation, split train/val: _learnable_shapenet draws fresh
-    # category cluster centers per call, so two calls produce val shapes
-    # at entirely different locations — out-of-distribution for a model
-    # fed absolute xyz (this exact bug made every eval here ~chance).
-    xs_all, segs_all, cats_all = _learnable_shapenet(
-        rng, 64, n_points, n_cat, parts_per)
-    xs, segs, cats = xs_all[:48], segs_all[:48], cats_all[:48]
-    vx, vseg, vcat = xs_all[48:], segs_all[48:], cats_all[48:]
-
-    state = create_train_state(jax.random.PRNGKey(seed), cfg)
-    step = make_train_step(cfg)
-    eval_step = make_eval_step(cfg)
-    key = jax.random.PRNGKey(seed + 1)
-    gate = np.float32(1.0)
-    for ep in range(epochs):
-        order = rng.permutation(len(xs))
-        for lo in range(0, len(xs) - bs + 1, bs):
-            sel = order[lo:lo + bs]
-            # Siamese duplication (each sample twice, interleaved)
-            dup = np.repeat(sel, 2)
-            seg = segs[dup]
-            batch = jax.device_put({
-                "data": xs[dup],
-                "seg": seg,
-                "seg_onehot": onehot_encode(seg, n_cls),
-                "mask": (rng.uniform(size=seg.shape) < 0.2).astype(
-                    np.float32),
-                "cat_onehot": onehot_encode(cats[dup], n_cat),
-                "valid": np.ones((2 * bs,), np.float32),
-            })
-            key, sub = jax.random.split(key)
-            state, metrics = step(state, batch, gate, sub)
-    float(metrics["total"])  # sync
-
-    ious = []
-    for lo in range(0, len(vx), bs):
-        vb = {
-            "data": vx[lo:lo + bs],
-            "seg_onehot": onehot_encode(vseg[lo:lo + bs], n_cls),
-            "mask": np.ones(vseg[lo:lo + bs].shape, np.float32),
-            "cat_onehot": onehot_encode(vcat[lo:lo + bs], n_cat),
-        }
-        prob, _ = eval_step(state, jax.device_put(vb))
-        pred = np.argmax(np.asarray(prob), -1)
-        for i in range(pred.shape[0]):
-            oids = list(range(vcat[lo + i] * parts_per,
-                              (vcat[lo + i] + 1) * parts_per))
-            ious.append(eval_iou(pred[i], vseg[lo + i], oids))
-    return float(np.mean(ious))
+from weaksuppointcloudseg_tpu.utils.synth_convergence import (  # noqa: E402
+    shapenet_train_and_eval_miou as _train_and_eval_miou,
+)
 
 
 def test_fast_config_convergence_matches_parity_on_device():
@@ -780,28 +691,12 @@ def test_s3dis_fast_config_convergence_on_device(tmp_path):
     on the learnable synthetic block set (data/s3dis.py::write_synthetic,
     z-correlated labels). Measured 53.3% val mIoU at 24 epochs / ~43 s on
     v5e; the bar leaves a wide run-to-run band."""
-    import dataclasses
-
-    from weaksuppointcloudseg_tpu import configs
-    from weaksuppointcloudseg_tpu.data import s3dis
-    from weaksuppointcloudseg_tpu.train.loop import S3DISTrainer
-
-    d = str(tmp_path / "s3c")
-    s3dis.write_synthetic(d, num_rooms_per_area=6, blocks_per_room=8,
-                          num_points=1024, areas=(1, 5), seed=0)
-    cfg = configs.s3dis_config()
-    cfg = dataclasses.replace(
-        cfg,
-        model=dataclasses.replace(cfg.model, num_points=1024,
-                                  compute_dtype="bfloat16", knn_fast=True),
-        train=dataclasses.replace(cfg.train, batch_size=8, style="Full",
-                                  rampup=2),
-        weaksup=dataclasses.replace(cfg.weaksup, rampup=2),
+    from weaksuppointcloudseg_tpu.utils.synth_convergence import (
+        s3dis_train_and_eval_miou,
     )
-    tr = S3DISTrainer(cfg, s3dis.S3DISDataset(d), None, test_area=5, seed=0)
-    for ep in range(24):
-        tr.train_epoch(ep)
-    _, acc, miou, _ = tr.evaluate()
+
+    miou, acc = s3dis_train_and_eval_miou(
+        "bfloat16", True, seed=0, epochs=24, data_dir=str(tmp_path / "s3c"))
     assert miou > 0.35, f"S3DIS fast config failed to converge: mIoU {miou}"
     assert acc > 0.5, f"S3DIS fast config low val acc: {acc}"
 
