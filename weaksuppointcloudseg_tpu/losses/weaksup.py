@@ -220,22 +220,39 @@ def total_weaksup_loss(
     smooth_knn: int = 10,
     smooth_channels: Optional[Tuple[int, int]] = None,
     smooth_fused_bf16: bool = False,
+    smooth_fast: bool = False,
+    smooth_graph: Optional[Tuple[jax.Array, jax.Array]] = None,
+    compat_frozen_gate: bool = False,
+    axis_name=None,
 ):
     """Full-style loss: seg + gate * (siamese + inexact + smooth).
 
     Mirrors ShapeNet_DGCNN_trainer.py:96-100 with the rampup gate as a
-    *runtime scalar* (0/1) instead of the frozen graph constant (quirk Q1).
+    *runtime scalar* (0/1) instead of the frozen graph constant (quirk Q1;
+    pass ``compat_frozen_gate=True`` to reproduce the as-released frozen
+    behavior). This is THE single Full-style composition — the jitted
+    train step (train/steps.py::_loss_fn) calls it, so every option the
+    step supports is available here: ``smooth_graph`` reuses a
+    precomputed kNN graph for the smoothness term (see
+    :func:`smooth_knn_laplacian`), ``smooth_fast`` selects the
+    packed-min Pallas selection, and ``axis_name`` makes every component
+    reduce globally under a shard_map data-parallel axis.
 
     Returns (total, dict of components).
     """
     prob = jax.nn.softmax(logits, axis=-1)
-    loss_seg = masked_softmax_ce(logits, labels_onehot, mask)
-    loss_siam = siamese_weight * siamese_consistency(prob)
-    loss_mil = mil_inexact(logits, labels_onehot)
+    loss_seg = masked_softmax_ce(logits, labels_onehot, mask,
+                                 axis_name=axis_name)
+    loss_siam = siamese_weight * siamese_consistency(prob,
+                                                     axis_name=axis_name)
+    loss_mil = mil_inexact(logits, labels_onehot, axis_name=axis_name)
     loss_smooth = smooth_knn_laplacian(
         prob, x, gamma=smooth_gamma, k=smooth_knn, channels=smooth_channels,
-        fused_bf16=smooth_fused_bf16,
+        fused_bf16=smooth_fused_bf16, fast=smooth_fast, axis_name=axis_name,
+        graph=smooth_graph,
     )
+    if compat_frozen_gate:
+        gate = jnp.zeros_like(gate)
     total = loss_seg + gate * (loss_siam + loss_mil + loss_smooth)
     return total, {
         "seg": loss_seg,

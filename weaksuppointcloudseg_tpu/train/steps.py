@@ -44,9 +44,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from weaksuppointcloudseg_tpu.configs import ExperimentConfig
 from weaksuppointcloudseg_tpu.losses.weaksup import (
     masked_softmax_ce,
-    siamese_consistency,
-    mil_inexact,
-    smooth_knn_laplacian,
+    total_weaksup_loss,
 )
 from weaksuppointcloudseg_tpu.models.dgcnn import apply_dgcnn_seg
 from weaksuppointcloudseg_tpu.ops.schedules import (
@@ -97,38 +95,30 @@ def _loss_fn(params, bn_state, batch, *, cfg, style, bn_decay, gate, rng,
     )
     logits, new_bn_state = fwd_out[:2]
     smooth_graph = fwd_out[2] if reuse_graph else None
-    loss_seg = masked_softmax_ce(logits, batch["seg_onehot"], batch["mask"],
-                                 axis_name=axis_name)
-    components = {"seg": loss_seg}
     if style == "Full":
-        prob = jax.nn.softmax(logits, axis=-1)
         w = cfg.weaksup
-        loss_siam = w.siamese_weight * siamese_consistency(
-            prob, axis_name=axis_name)
-        loss_mil = mil_inexact(logits, batch["seg_onehot"],
-                               axis_name=axis_name)
-        loss_smooth = smooth_knn_laplacian(
-            prob, batch["data"], gamma=w.smooth_gamma, k=w.smooth_knn,
-            channels=w.smooth_channels,
+        total, components = total_weaksup_loss(
+            logits, batch["seg_onehot"], batch["mask"], batch["data"],
+            gate=gate, siamese_weight=w.siamese_weight,
+            smooth_gamma=w.smooth_gamma, smooth_knn=w.smooth_knn,
+            smooth_channels=w.smooth_channels,
             # bf16 compute configs run the fused distance+top-k+prob-gather
             # kernel (bf16 probs, f32 weights hi/lo-split into the combined
             # one-hot matmul); use_fused_knn=False forces pure-XLA everywhere
-            fused_bf16=(cfg.model.use_fused_knn and
-                        jnp.dtype(cfg.model.compute_dtype) == jnp.bfloat16),
-            fast=cfg.model.knn_fast,
-            axis_name=axis_name,
+            smooth_fused_bf16=(cfg.model.use_fused_knn and
+                               jnp.dtype(cfg.model.compute_dtype)
+                               == jnp.bfloat16),
+            smooth_fast=cfg.model.knn_fast,
             # ShapeNet Full reuses the transform stage's raw-xyz kNN graph
             # — the loss's own selection pass disappears from the step
-            graph=smooth_graph,
-        )
-        if w.compat_frozen_gate:
-            gate = jnp.zeros_like(gate)
-        total = loss_seg + gate * (loss_siam + loss_mil + loss_smooth)
-        components.update(
-            siamese=loss_siam, inexact=loss_mil, smooth=loss_smooth
+            smooth_graph=smooth_graph,
+            compat_frozen_gate=w.compat_frozen_gate,
+            axis_name=axis_name,
         )
     else:
-        total = loss_seg
+        total = masked_softmax_ce(logits, batch["seg_onehot"], batch["mask"],
+                                  axis_name=axis_name)
+        components = {"seg": total}
     components["total"] = total
     return total, (components, new_bn_state, logits)
 
