@@ -206,6 +206,43 @@ def time_lp(solver: str, n: int, *, b: int = 1, reps: int = 10,
     return (time.perf_counter() - t0) / reps * 1e3
 
 
+def time_room_lp(n_blocks: int, n_per_block: int, *, reps: int = 3,
+                 seed: int = 0) -> float:
+    """ms for ONE matrix-free label propagation over a whole S3DIS-style
+    room (train/loop.py::S3DISTrainer.room_label_prop compute path). The
+    reference refines each 1m block independently (its dense O(N^3) solve
+    cannot reach room scale); this measures the capability upgrade at a
+    realistic room size. Points are sampled on surfaces (floor/ceiling/
+    walls/furniture planes) so local densities — and therefore CG's
+    data-dependent convergence — resemble real scans."""
+    from weaksuppointcloudseg_tpu.propagate.label_prop import propagate_batch
+
+    n = n_blocks * n_per_block
+    rng = np.random.default_rng(seed)
+    room = np.array([8.0, 8.0, 3.0], np.float32)
+    n_surf, n_int = int(n * 0.7), n - int(n * 0.7)
+    xy = rng.uniform(0, 1, (n_surf, 2)) * room[:2]
+    which = rng.integers(0, 4, n_surf)
+    z = np.where(which == 0, 0.0, np.where(which == 1, room[2],
+                 rng.uniform(0, room[2], n_surf)))
+    x = np.where(which == 2, np.round(xy[:, 0] / 2) * 2, xy[:, 0])
+    surf = np.stack([x, xy[:, 1], z], -1)
+    interior = rng.uniform(0, 1, (n_int, 3)) * room
+    xyz = np.concatenate([surf, interior]).astype(np.float32)[None]
+    rgb = rng.uniform(0, 1, (1, n, 3)).astype(np.float32)
+    logits = rng.standard_normal((1, n, 13)).astype(np.float32) * 3.0
+    g = np.asarray(jax.nn.softmax(jnp.asarray(logits), -1))
+    xyz, g, rgb = jax.device_put((xyz, g, rgb))
+
+    y = propagate_batch(xyz, g, rgb, solver="cg_matfree")  # compile
+    float(jnp.sum(y))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        y = propagate_batch(xyz, g, rgb, solver="cg_matfree")
+    float(jnp.sum(y))
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
 def emit(metric: str, value: float, unit: str, vs_baseline=None, **extra):
     rec = {"metric": metric, "value": round(value, 2), "unit": unit}
     if vs_baseline is not None:
@@ -256,6 +293,16 @@ def main() -> None:
                      n_points=lp_n, solver=solver)
             except Exception:
                 traceback.print_exc(file=sys.stderr)
+
+        # --- whole-room S3DIS LP (long-context showcase: one matfree CG
+        # over all ~32 blocks x 4096 points of a room; the reference's
+        # per-block dense solver cannot reach this scale) ---
+        try:
+            emit("s3dis_room_lp_131072", time_room_lp(32, 4096), "ms/room",
+                 n_points=131072, solver="cg_matfree",
+                 note="one label propagation across a whole room")
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
 
         # --- S3DIS flagship (train_script:4-5: bs=14, N=4096) ---
         try:

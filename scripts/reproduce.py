@@ -94,7 +94,7 @@ def _parse_metrics(pattern: str, out: str) -> "re.Match":
     return mm
 
 
-def run_shapenet(args) -> dict:
+def run_shapenet(args, m=None) -> dict:
     from weaksuppointcloudseg_tpu.cli import test_shapenet, train_shapenet
 
     data = os.path.join(args.data_root, "ShapeNet")
@@ -105,7 +105,8 @@ def run_shapenet(args) -> dict:
                                      test_samples=3, num_points=64, seed=0)
     epochs = args.smoke_epochs if args.smoke else 201
     bs = 2 if args.smoke else 32
-    m = 0.5 if args.smoke else args.m
+    if m is None:
+        m = 0.5 if args.smoke else args.m
     train_shapenet.main([
         "-m", str(m), "-sty", "Full", "-bs", str(bs),
         "--Epoch", str(epochs), "--ExpRslt", "1", "--DataPath", data])
@@ -123,7 +124,7 @@ def run_shapenet(args) -> dict:
             "acc": mm.group(3), "result_dir": rdir}
 
 
-def run_s3dis(args) -> dict:
+def run_s3dis(args, m=None) -> dict:
     from weaksuppointcloudseg_tpu.cli import test_s3dis, train_s3dis
 
     base = os.path.join(args.data_root, "S3DIS")
@@ -134,7 +135,8 @@ def run_s3dis(args) -> dict:
             s3dis.write_synthetic(data, num_points=64, seed=0)
     epochs = args.smoke_epochs if args.smoke else 201
     bs = 2 if args.smoke else 14
-    m = 0.5 if args.smoke else args.m
+    if m is None:
+        m = 0.5 if args.smoke else args.m
     train_s3dis.main([
         "-m", str(m), "-sty", "Full", "-bs", str(bs),
         "--Epoch", str(epochs), "-ta", "5", "--ExpRslt", "1",
@@ -162,17 +164,27 @@ def main(argv=None) -> None:
     p.add_argument("--data-root", default="./Dataset")
     p.add_argument("--m", type=float, default=0.1,
                    help="label fraction (reference headline: 0.1)")
+    p.add_argument("--m-grid", action="store_true",
+                   help="run the paper's full label-budget grid instead of "
+                        "a single --m: ShapeNet m in {0.01, 0.05, 0.1, 1.0} "
+                        "(train_ShapeNet.py:32-33), S3DIS m in {0 (one "
+                        "labelled point per class — the paper's 1pt "
+                        "setting), 0.1} — one train+test run per cell")
     p.add_argument("--smoke", action="store_true",
                    help="synthetic data + tiny epochs (CI smoke)")
     p.add_argument("--smoke-epochs", type=int, default=3)
     p.add_argument("--out", default="reproduction_results.md")
     args = p.parse_args(argv)
 
+    shapenet_grid = [0.01, 0.05, 0.1, 1.0] if args.m_grid else [None]
+    s3dis_grid = [0.0, 0.1] if args.m_grid else [None]
     rows = []
     if args.dataset in ("shapenet", "both"):
-        rows.append(run_shapenet(args))
+        for m in shapenet_grid:
+            rows.append(run_shapenet(args, m))
     if args.dataset in ("s3dis", "both"):
-        rows.append(run_s3dis(args))
+        for m in s3dis_grid:
+            rows.append(run_s3dis(args, m))
 
     with open(args.out, "w") as f:
         f.write("# Reproduction results\n\n"

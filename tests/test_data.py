@@ -121,9 +121,14 @@ class TestS3DIS:
     def test_test_rooms(self, s3dis_dir):
         rooms = s3dis.S3DISTestRooms(s3dis_dir, "area5", num_point=64)
         assert len(rooms) == 2
-        blocks, labels, path = rooms.load_room(0)
+        blocks, labels, path, room_max = rooms.load_room(0)
         assert blocks.shape[0] == labels.shape[0] > 0
         assert blocks.shape[1:] == (64, 9)
+        # room_max is the channel-6:9 normalization scale: rescaling those
+        # channels must land inside the room's bounding box
+        assert room_max.shape == (3,) and (room_max > 0).all()
+        global_xyz = blocks[..., 6:9] * room_max
+        assert global_xyz.max() <= room_max.max() + 1e-4
 
 
 class TestSampling:

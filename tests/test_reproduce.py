@@ -30,6 +30,18 @@ def test_smoke_shapenet(reproduce_mod, tmp_path, monkeypatch):
     assert "per-shape mIoU" in table and "overall acc" in table
 
 
+def test_smoke_s3dis_m_grid(reproduce_mod, tmp_path, monkeypatch):
+    """--m-grid runs one train+test per label-budget cell; the S3DIS grid
+    covers BOTH weak-label schemes (m=0 one-point-per-class, m=0.1)."""
+    monkeypatch.chdir(tmp_path)
+    reproduce_mod.main([
+        "--dataset", "s3dis", "--m-grid", "--smoke", "--smoke-epochs", "1",
+        "--data-root", str(tmp_path / "Dataset"),
+        "--out", str(tmp_path / "results.md")])
+    table = open(tmp_path / "results.md").read()
+    assert "m=0.0 " in table and "m=0.1 " in table
+
+
 def test_format_signature_rules(reproduce_mod, tmp_path):
     sig = reproduce_mod._line_signature
     # numbers (incl. scientific notation and thousands separators) collapse

@@ -219,6 +219,50 @@ class TestS3DISTraining:
         mats = [f for f in os.listdir(tmp_path / "pred") if f.endswith("_pred_gt.mat")]
         assert len(mats) == 2
 
+    def test_room_lp_matches_dense_oracle(self, s3dis_dir):
+        """room_label_prop (matfree CG over the whole room, blocks padded
+        to a multiple of 8 with far-away points) must reproduce a dense-LU
+        label propagation over the same unpadded concatenated cloud —
+        proving both the CG solve and the pad-innocuity claim."""
+        cfg = tiny_s3dis_cfg("Full")
+        ds = s3dis.S3DISDataset(s3dis_dir)
+        tr = S3DISTrainer(cfg, ds, None, test_area=5, seed=0)
+        rooms = s3dis.S3DISTestRooms(s3dis_dir, "area5", num_point=64)
+        blocks, labels, _, room_max = rooms.load_room(
+            0, rng=np.random.default_rng(0))
+        k, n = labels.shape
+        assert k % 8 != 0  # the pad path must actually be exercised
+        rng = np.random.default_rng(1)
+        logits = rng.standard_normal((k, n, 13)).astype(np.float32) * 2
+        prob = np.exp(logits)
+        prob /= prob.sum(-1, keepdims=True)
+
+        got = tr.room_label_prop(blocks, prob, room_max)
+        assert got.shape == (k, n)
+
+        from weaksuppointcloudseg_tpu.propagate import propagate_batch
+
+        lp = cfg.labelprop
+        xyz = (blocks[:, :, 6:9] * room_max).reshape(1, -1, 3).astype(np.float32)
+        rgb = blocks[:, :, 3:6].reshape(1, -1, 3).astype(np.float32)
+        want = np.asarray(propagate_batch(
+            xyz, prob.reshape(1, -1, 13), rgb,
+            alpha=lp.alpha, beta=lp.beta, xyz_bandwidth=lp.xyz_bandwidth,
+            rgb_bandwidth=lp.rgb_bandwidth, ridge=lp.ridge,
+            solver="solve", cg_iters=lp.cg_iters))
+        want_pred = want[0].argmax(-1).reshape(k, n)
+        assert (got == want_pred).mean() > 0.98
+
+    def test_room_lp_end_to_end(self, s3dis_dir):
+        """--RoomLP flow: forward + one room-level LP per room."""
+        cfg = tiny_s3dis_cfg("Full")
+        ds = s3dis.S3DISDataset(s3dis_dir)
+        tr = S3DISTrainer(cfg, ds, None, test_area=5, seed=0)
+        rooms = s3dis.S3DISTestRooms(s3dis_dir, "area5", num_point=64)
+        res = tr.test(rooms, use_label_prop=True, room_lp=True)
+        assert 0 <= res["miou"] <= 1
+        assert res["per_class_iou"].shape == (13,)
+
 
 class TestDataParallel:
     def test_mesh_training_matches_shapes(self, shapenet_dir):

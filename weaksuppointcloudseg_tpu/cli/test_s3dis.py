@@ -30,6 +30,11 @@ def main(argv=None) -> None:
     p.add_argument("--RoomsPath", type=str, default=None,
                    help="base dir holding meta/<area>_data_label.txt and the "
                         "raw room files [default: --DataPath or ./Dataset/S3DIS]")
+    p.add_argument("--RoomLP", action="store_true",
+                   help="one matrix-free label propagation over ALL block "
+                        "points of each room in global coordinates (label "
+                        "consistency across block boundaries) instead of "
+                        "the reference's independent per-block refinement")
     args = p.parse_args(argv)
     args.Epoch = 1
     cfg = common.build_config(args, "S3DIS")
@@ -53,7 +58,8 @@ def main(argv=None) -> None:
     pred_dir = os.path.join(base, "Prediction") if base else None
     with common.debug_context(args), common.profile_context(args):
         res = trainer.test(
-            rooms, use_label_prop=args.Style == "Full", pred_dir=pred_dir
+            rooms, use_label_prop=args.Style == "Full", pred_dir=pred_dir,
+            room_lp=args.RoomLP,
         )
     print(f"Test Area {args.test_area}  mIoU {100 * res['miou']:.2f}%  "
           f"acc {100 * res['accuracy']:.2f}%")

@@ -236,7 +236,14 @@ class S3DISTestRooms:
         return len(self.room_paths)
 
     def load_room(self, i: int, rng: Optional[np.random.Generator] = None):
-        """Returns (blocks [K,N,9], labels [K,N], room_path)."""
+        """Returns (blocks [K,N,9], labels [K,N], room_path, room_max [3]).
+
+        ``room_max`` is the room's xyz extent in meters (the normalization
+        scale of block channels 6:9) — multiplying channels 6:9 by it
+        recovers global room coordinates, which room-level label
+        propagation (train/loop.py::S3DISTrainer.test(room_lp=True)) needs
+        to build one affinity graph across block boundaries.
+        """
         path = self.room_paths[i]
         if path.endswith(".txt"):
             data_label = np.loadtxt(path)
@@ -245,7 +252,8 @@ class S3DISTestRooms:
         else:
             raise ValueError(f"unknown room file type: {path}")
         blocks, labels = room_to_blocks(data_label, self.num_point, rng=rng)
-        return blocks, labels, path
+        room_max = data_label[:, 0:3].max(axis=0).astype(np.float32)
+        return blocks, labels, path, room_max
 
 
 def write_synthetic(

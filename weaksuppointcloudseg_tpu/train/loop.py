@@ -439,9 +439,18 @@ class S3DISTrainer(_TrainerBase):
 
     def test(self, rooms: s3dis_data.S3DISTestRooms, *,
              use_label_prop: Optional[bool] = None,
-             pred_dir: Optional[str] = None) -> Dict[str, float]:
+             pred_dir: Optional[str] = None,
+             room_lp: bool = False) -> Dict[str, float]:
         """Room-by-room block inference + LP + optional per-room .mat dump
-        (S3DIS_DGCNN_trainer.py:499-584)."""
+        (S3DIS_DGCNN_trainer.py:499-584).
+
+        ``room_lp=True`` replaces the reference's per-block label
+        propagation (S3DIS_DGCNN_trainer.py:539-556 — each 1m block is
+        refined independently, so labels can disagree across block
+        boundaries) with ONE matrix-free propagation over every block
+        point of the room in global coordinates — a capability the
+        reference's dense O(N^3) solver cannot reach at room scale.
+        """
         if use_label_prop is None:
             use_label_prop = self.style == "Full"
         lp = self.cfg.labelprop
@@ -454,8 +463,8 @@ class S3DISTrainer(_TrainerBase):
             )[0]
         )
         for r in range(len(rooms)):
-            blocks, labels, path = rooms.load_room(r, rng=self.np_rng)
-            room_pred = []
+            blocks, labels, path, room_max = rooms.load_room(r, rng=self.np_rng)
+            room_prob = []
             for start in range(0, len(blocks), bs):
                 chunk = blocks[start : start + bs]
                 valid = len(chunk)
@@ -464,7 +473,7 @@ class S3DISTrainer(_TrainerBase):
                     chunk = np.concatenate([chunk, pad])
                 logits = eval_fwd(self.state, chunk.astype(np.float32))
                 prob = np.asarray(jax.nn.softmax(logits, axis=-1))[:valid]
-                if use_label_prop:
+                if use_label_prop and not room_lp:
                     prob = np.asarray(propagate_batch(
                         chunk[:valid, :, 0:3].astype(np.float32), prob,
                         chunk[:valid, :, 3:6].astype(np.float32),
@@ -473,9 +482,13 @@ class S3DISTrainer(_TrainerBase):
                         rgb_bandwidth=lp.rgb_bandwidth,
                         ridge=lp.ridge, solver=lp.solver, cg_iters=lp.cg_iters,
                     ))
-                room_pred.append(prob.argmax(-1))
-            if room_pred:
-                pred = np.concatenate(room_pred)
+                room_prob.append(prob)
+            if room_prob:
+                prob = np.concatenate(room_prob)
+                if room_lp and use_label_prop and len(blocks):
+                    pred = self.room_label_prop(blocks, prob, room_max)
+                else:
+                    pred = prob.argmax(-1)
                 conf.update(pred, labels)
                 if pred_dir is not None:
                     self._dump_room(pred_dir, path, blocks, pred, labels)
@@ -484,6 +497,52 @@ class S3DISTrainer(_TrainerBase):
             "accuracy": conf.accuracy,
             "per_class_iou": conf.iou,
         }
+
+    def room_label_prop(self, blocks: np.ndarray, prob: np.ndarray,
+                        room_max: np.ndarray) -> np.ndarray:
+        """One label propagation across ALL blocks of a room.
+
+        Concatenates every block point into a single cloud in global room
+        coordinates (block channels 6:9 x ``room_max``) and solves one
+        matrix-free-CG propagation over it, so label mass flows across
+        block boundaries. Blocks are padded to a multiple of 8 so rooms of
+        similar size share one compiled CG program; pad points sit 1 km
+        away, where exp(-1e3 d^2) affinity underflows to exactly 0 — they
+        neither receive nor donate label mass.
+
+        Args:
+          blocks: [K, N, 9] room blocks (room_to_blocks layout).
+          prob: [K, N, C] per-block softmax probabilities (pre-LP).
+          room_max: [3] room extent in meters (load_room's scale).
+
+        Returns:
+          [K, N] refined integer predictions.
+        """
+        lp = self.cfg.labelprop
+        k_blocks, n, c = prob.shape
+        k_pad = -(-k_blocks // 8) * 8
+        xyz = (blocks[:, :, 6:9] * room_max).astype(np.float32)
+        rgb = blocks[:, :, 3:6].astype(np.float32)
+        prob = prob.astype(np.float32)
+        if k_pad > k_blocks:
+            extra = k_pad - k_blocks
+            xyz = np.concatenate(
+                [xyz, np.full((extra, n, 3), 1e3, np.float32)])
+            rgb = np.concatenate([rgb, np.zeros((extra, n, 3), np.float32)])
+            prob = np.concatenate(
+                [prob, np.full((extra, n, c), 1.0 / c, np.float32)])
+        # the dense [N_room, N_room] Laplacian would be O(100k^2); only the
+        # matrix-free and point-axis-sharded solvers scale to room level
+        solver = "sharded" if lp.solver == "sharded" else "cg_matfree"
+        y = propagate_batch(
+            xyz.reshape(1, -1, 3), prob.reshape(1, -1, c),
+            rgb.reshape(1, -1, 3),
+            alpha=lp.alpha, beta=lp.beta, xyz_bandwidth=lp.xyz_bandwidth,
+            rgb_bandwidth=lp.rgb_bandwidth, ridge=lp.ridge,
+            solver=solver, cg_iters=lp.cg_iters,
+        )
+        pred = np.asarray(y[0]).argmax(-1).reshape(k_pad, n)
+        return pred[:k_blocks]
 
     @staticmethod
     def _dump_room(pred_dir: str, room_path: str, data, pred, gt) -> None:
