@@ -243,6 +243,75 @@ def time_room_lp(n_blocks: int, n_per_block: int, *, reps: int = 3,
     return (time.perf_counter() - t0) / reps * 1e3
 
 
+def time_host_assemble(dataset: str, unique_bs: int, n: int,
+                       *, epochs: int = 3) -> dict:
+    """ms/batch of the host-side work the prefetch thread must hide:
+    dataset batch slicing + _assemble (SampIndex mask, Siamese dup +
+    augment, one-hot encoding) + _put, via the REAL trainer path
+    (train/loop.py::_run_train_epoch's transform) on synthetic data at the
+    flagship shape. Returns {"ms": ..., "ms_numpy": ...} — the second
+    value with the native C++ batcher disabled (numpy fallback)."""
+    import tempfile
+
+    from weaksuppointcloudseg_tpu import configs, native
+    from weaksuppointcloudseg_tpu.data import sampling
+
+    tmp = tempfile.mkdtemp(prefix=f"bench_host_{dataset}_")
+    if dataset == "shapenet":
+        from weaksuppointcloudseg_tpu.data import shapenet
+        from weaksuppointcloudseg_tpu.train.loop import ShapeNetTrainer
+
+        shapenet.write_synthetic(tmp, num_points=n,
+                                 train_samples=unique_bs * 2,
+                                 val_samples=2, test_samples=2)
+        ds = shapenet.ShapeNetDataset(tmp)
+        pts_idx = sampling.generate_sample_index(
+            ds.num_samples("train"), n, 0.1)
+        cfg = flagship_config(unique_bs)
+        tr = ShapeNetTrainer(cfg, ds, pts_idx, seed=0)
+        batches = lambda: ds.batches("train", unique_bs, shuffle=True,
+                                     drop_last=True, rng=tr.np_rng)
+    else:
+        from weaksuppointcloudseg_tpu.data import s3dis
+        from weaksuppointcloudseg_tpu.train.loop import S3DISTrainer
+
+        s3dis.write_synthetic(tmp, num_rooms_per_area=4, blocks_per_room=8,
+                              num_points=n, areas=(1, 5))
+        ds = s3dis.S3DISDataset(tmp)
+        cfg = configs.s3dis_config()
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, batch_size=unique_bs,
+                                           style="Full"))
+        pts_idx = sampling.generate_sample_index(
+            len(ds.room_filelist), n, 0.1)
+        tr = S3DISTrainer(cfg, ds, pts_idx, test_area=5, seed=0)
+        batches = lambda: ds.batches(tr.train_idx, unique_bs, shuffle=True,
+                                     drop_last=True, rng=tr.np_rng)
+
+    def assemble(b):
+        batch = tr._assemble(b, siamese=True, augment_pairs=True,
+                             full_mask=False)
+        return tr._put(batch, pairs=True)
+
+    out = {}
+    for key in ("ms", "ms_numpy"):
+        saved = native._lib
+        if key == "ms_numpy":
+            native._lib = None
+        try:
+            list(map(assemble, batches()))  # warmup (page cache, JIT-free)
+            t0, cnt = time.perf_counter(), 0
+            for _ in range(epochs):
+                for b in batches():
+                    assemble(b)
+                    cnt += 1
+            out[key] = (time.perf_counter() - t0) / cnt * 1e3
+        finally:
+            native._lib = saved
+    out["native_lib"] = native.HAVE_NATIVE
+    return out
+
+
 def emit(metric: str, value: float, unit: str, vs_baseline=None, **extra):
     rec = {"metric": metric, "value": round(value, 2), "unit": unit}
     if vs_baseline is not None:
@@ -305,6 +374,7 @@ def main() -> None:
             traceback.print_exc(file=sys.stderr)
 
         # --- S3DIS flagship (train_script:4-5: bs=14, N=4096) ---
+        s3_step = None
         try:
             s3 = configs.s3dis_config()
             s3 = dataclasses.replace(
@@ -319,6 +389,26 @@ def main() -> None:
                  14 * s3.model.num_points / s3_step, "points/sec/chip",
                  step_ms=round(s3_step * 1e3, 2), chip_batch=14,
                  n_points=s3.model.num_points)
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+
+        # --- host batch assembly (VERDICT r3 #6: prove the host pipeline
+        # cannot become the bottleneck — prefetch(depth=2) hides assembly
+        # iff ms/batch < device ms/step) ---
+        try:
+            ha = time_host_assemble("shapenet", unique_bs, n)
+            emit("host_assemble_shapenet", ha["ms"], "ms/batch",
+                 ms_numpy_fallback=round(ha["ms_numpy"], 2),
+                 native_lib=ha["native_lib"],
+                 pct_of_train_step=round(100 * ha["ms"] / (step_s * 1e3), 1))
+            ha3 = time_host_assemble("s3dis", 14, 4096)
+            extra3 = {}
+            if s3_step is not None:
+                extra3["pct_of_train_step"] = round(
+                    100 * ha3["ms"] / (s3_step * 1e3), 1)
+            emit("host_assemble_s3dis", ha3["ms"], "ms/batch",
+                 ms_numpy_fallback=round(ha3["ms_numpy"], 2),
+                 native_lib=ha3["native_lib"], **extra3)
         except Exception:
             traceback.print_exc(file=sys.stderr)
 
