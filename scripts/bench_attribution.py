@@ -115,16 +115,9 @@ def attribute(trace_dir: str, steps: int, *, top: int = 25):
     return bucket_ms, top_ops, device_track
 
 
-def run_and_trace(dataset: str, steps: int, trace_dir: str,
-                  static_graph: bool = False) -> float:
-    """Run the flagship train step under the profiler; returns wall s/step."""
-    import jax
-    import numpy as np
-
+def _flagship_cfg(dataset: str, static_graph: bool):
     import bench  # repo-root helpers (config + synthetic batch)
     from weaksuppointcloudseg_tpu import configs
-    from weaksuppointcloudseg_tpu.train.state import create_train_state
-    from weaksuppointcloudseg_tpu.train.steps import make_train_step
 
     if dataset == "s3dis":
         cfg = configs.s3dis_config()
@@ -139,6 +132,20 @@ def run_and_trace(dataset: str, steps: int, trace_dir: str,
     if static_graph:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, static_graph=True))
+    return cfg
+
+
+def run_and_trace(dataset: str, steps: int, trace_dir: str,
+                  static_graph: bool = False) -> float:
+    """Run the flagship train step under the profiler; returns wall s/step."""
+    import jax
+    import numpy as np
+
+    import bench  # repo-root helpers (config + synthetic batch)
+    from weaksuppointcloudseg_tpu.train.state import create_train_state
+    from weaksuppointcloudseg_tpu.train.steps import make_train_step
+
+    cfg = _flagship_cfg(dataset, static_graph)
     batch = bench.make_train_batch(cfg.model, cfg.train.batch_size)
     state = create_train_state(jax.random.PRNGKey(0), cfg)
     train_step = make_train_step(cfg)
@@ -159,10 +166,61 @@ def run_and_trace(dataset: str, steps: int, trace_dir: str,
     return dt / steps
 
 
+def run_and_trace_eval(dataset: str, steps: int, trace_dir: str,
+                       static_graph: bool = False) -> float:
+    """Profile the eval forward (make_eval_step) at the TEST shape:
+    ShapeNet bs=32 / N=3000 (the resampled test view size,
+    ShapeNet_DGCNN_trainer.py:511-596), S3DIS bs=14 / N=4096."""
+    import jax
+    import numpy as np
+
+    from weaksuppointcloudseg_tpu.train.state import create_train_state
+    from weaksuppointcloudseg_tpu.train.steps import make_eval_step
+    from weaksuppointcloudseg_tpu.utils.tools import onehot_encode
+
+    cfg = _flagship_cfg(dataset, static_graph)
+    if dataset == "shapenet":
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, num_points=3000),
+            train=dataclasses.replace(cfg.train, batch_size=32))
+    bs, n = cfg.train.batch_size, cfg.model.num_points
+    rng = np.random.default_rng(0)
+    seg = rng.integers(0, cfg.model.num_classes, (bs, n))
+    xyz = rng.standard_normal((bs, n, cfg.model.in_channels)).astype(
+        np.float32)
+    batch = {
+        "data": xyz,
+        "seg_onehot": onehot_encode(seg, cfg.model.num_classes),
+        "mask": np.ones((bs, n), np.float32),
+    }
+    if cfg.model.num_categories > 0:
+        batch["cat_onehot"] = onehot_encode(
+            rng.integers(0, cfg.model.num_categories, (bs,)),
+            cfg.model.num_categories)
+    batch = jax.device_put(batch)
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    ev = make_eval_step(cfg)
+
+    prob, _ = ev(state, batch)  # compile
+    float(jax.numpy.sum(prob))
+
+    jax.profiler.start_trace(trace_dir)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        prob, _ = ev(state, batch)
+    float(jax.numpy.sum(prob))
+    dt = time.perf_counter() - t0
+    jax.profiler.stop_trace()
+    return dt / steps
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--dataset", choices=["shapenet", "s3dis"],
                    default="shapenet")
+    p.add_argument("--mode", choices=["train", "eval"], default="train",
+                   help="train: flagship train step; eval: make_eval_step "
+                        "at the test shape (ShapeNet bs=32/N=3000)")
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--top", type=int, default=25,
                    help="how many individual ops to list")
@@ -179,8 +237,9 @@ def main() -> None:
         trace_dir, wall = args.parse_only, None
     else:
         trace_dir = tempfile.mkdtemp(prefix="wspc_attr_")
-        wall = run_and_trace(args.dataset, args.steps, trace_dir,
-                             static_graph=args.static_graph)
+        runner = run_and_trace_eval if args.mode == "eval" else run_and_trace
+        wall = runner(args.dataset, args.steps, trace_dir,
+                      static_graph=args.static_graph)
         print(f"wall: {wall * 1e3:.1f} ms/step over {args.steps} steps")
 
     bucket_ms, top_ops, track = attribute(trace_dir, args.steps, top=args.top)
