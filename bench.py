@@ -389,6 +389,13 @@ def main() -> None:
                  14 * s3.model.num_points / s3_step, "points/sec/chip",
                  step_ms=round(s3_step * 1e3, 2), chip_batch=14,
                  n_points=s3.model.num_points)
+            s3_sg = dataclasses.replace(
+                s3, model=dataclasses.replace(s3.model, static_graph=True))
+            s3_sg_step = time_train_step(s3_sg, steps=20)
+            emit("s3dis_full_train_throughput_static_graph",
+                 14 * s3.model.num_points / s3_sg_step, "points/sec/chip",
+                 step_ms=round(s3_sg_step * 1e3, 2),
+                 note="opt-in speed/accuracy trade (ModelConfig.static_graph)")
         except Exception:
             traceback.print_exc(file=sys.stderr)
 
