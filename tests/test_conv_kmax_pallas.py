@@ -204,6 +204,76 @@ def test_whole_stage_eval_matches_unfused(rng):
                                atol=1e-6)
 
 
+@pytest.mark.parametrize(
+    "b,n,k,c1,c2,dt,fold",
+    [
+        (2, 40, 5, 12, 10, jnp.float32, False),
+        (2, 64, 20, 64, 64, jnp.bfloat16, True),
+        (1, 33, 4, 3, 8, jnp.float32, True),   # ragged N + channel padding
+    ],
+)
+def test_zmax_matches_minmax_composition(rng, b, n, k, c1, c2, dt, fold):
+    """conv_zmax (eval-only: BN2 folded in, one extremum) must be
+    VALUE-IDENTICAL to conv_minmax + _minmax_select + z/relu — the
+    monotone-affine argument, including negative and zero s2 channels."""
+    from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
+        conv_zmax_pallas,
+    )
+
+    h1 = jnp.asarray(rng.standard_normal((b, n, k, c1)), dt)
+    w2 = jnp.asarray(rng.standard_normal((c1, c2)) * 0.2, dt)
+    b2 = jnp.asarray(rng.standard_normal((c2,)), jnp.float32)
+    s2 = rng.standard_normal((c2,)).astype(np.float32)
+    s2[::3] = -s2[::3]
+    s2[1] = 0.0  # zero-scale channel: both extrema give z = t2
+    s2 = jnp.asarray(s2)
+    t2 = jnp.asarray(rng.standard_normal((c2,)), jnp.float32)
+    if fold:
+        sc1 = jnp.asarray(rng.standard_normal((c1,)) * 0.5 + 1.0,
+                          jnp.float32)
+        sh1 = jnp.asarray(rng.standard_normal((c1,)) * 0.1, jnp.float32)
+    else:
+        sc1 = sh1 = None
+
+    got = conv_zmax_pallas(h1, w2, b2, s2, t2, sc1, sh1, row_tile=16,
+                           interpret=True)
+    ymax, amax, ymin, amin, _ = conv_minmax_pallas(
+        h1, w2, b2, sc1, sh1, row_tile=16, interpret=True)
+    ysel, _ = layers._minmax_select(ymax, amax, ymin, amin, s2)
+    want = jax.nn.relu(ysel.astype(jnp.float32) * s2 + t2).astype(dt)
+    if dt == jnp.bfloat16:
+        assert jnp.array_equal(got, want)  # bf16 rounding absorbs the ulp
+    else:
+        # s2*y + t2 contracts to an FMA inside the kernel but not in the
+        # eager composition: agreement to 1 f32 ulp
+        np.testing.assert_allclose(got, want, rtol=2e-7, atol=2e-6)
+
+
+def test_znmax_matches_nmax_composition(rng):
+    from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
+        conv_nmax_pallas,
+        conv_znmax_pallas,
+    )
+
+    b, n, c1, c2 = 2, 60, 12, 16
+    h = jnp.asarray(rng.standard_normal((b, n, c1)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((c1, c2)) * 0.2, jnp.bfloat16)
+    bias = jnp.asarray(rng.standard_normal((c2,)), jnp.float32)
+    s = rng.standard_normal((c2,)).astype(np.float32)
+    s[::2] = -s[::2]
+    s = jnp.asarray(s)
+    t = jnp.asarray(rng.standard_normal((c2,)), jnp.float32)
+
+    got = conv_znmax_pallas(h, w, bias, s, t, row_tile=16, interpret=True)
+    ymax, amax, ymin, amin, _ = conv_nmax_pallas(h, w, bias, row_tile=16,
+                                                 interpret=True)
+    ysel, _ = layers._minmax_select(ymax, amax, ymin, amin, s)
+    want = jax.nn.relu(ysel * s + t)
+    # FMA contraction inside the kernel: 1-ulp f32 agreement
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-7, atol=2e-6)
+
+
 def test_stage1_matches_unfused(rng):
     """apply_edge_conv_stage1_fused (kNN kernel emits the k-extrema) ==
     knn -> gather -> conv1 block -> k-max: values, grads, states, eval."""

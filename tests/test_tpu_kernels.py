@@ -383,6 +383,53 @@ def test_model_fused_path_matches_straight_on_device():
     assert close.mean() > 0.98, f"only {close.mean():.4f} of logits agree"
 
 
+def test_model_fused_eval_matches_straight_on_device():
+    """Eval forward (population BN stats): the fused inference path — now
+    the conv_zmax/conv_znmax eval-only kernels (BN folded in, single
+    extremum) — vs the straight XLA path, same weights. Negative-gamma
+    channels and random population stats exercise the min-extremum fold."""
+    import dataclasses
+    from weaksuppointcloudseg_tpu import configs
+    from weaksuppointcloudseg_tpu.models.dgcnn import (
+        init_dgcnn_seg, apply_dgcnn_seg)
+    from weaksuppointcloudseg_tpu.utils.tools import onehot_encode
+
+    cfg0 = configs.shapenet_config().model
+    cfg0 = dataclasses.replace(cfg0, compute_dtype="bfloat16", num_points=512)
+    rng = np.random.default_rng(13)
+    x = jax.device_put(rng.standard_normal((2, 512, 3)).astype(np.float32))
+    cat = jax.device_put(
+        onehot_encode(rng.integers(0, cfg0.num_categories, (2,)),
+                      cfg0.num_categories))
+    params, state = init_dgcnn_seg(jax.random.PRNGKey(0), cfg0)
+    # flip a third of every gamma negative + randomize population stats so
+    # sign(s) varies per channel
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, p: (
+            p * np.where(np.arange(p.shape[-1]) % 3 == 0, -1.0, 1.0)
+            if path[-1].key == "gamma" else p),
+        params)
+    state = jax.tree_util.tree_map_with_path(
+        lambda path, s: (
+            jnp.asarray(rng.uniform(0.5, 2.0, s.shape), s.dtype)
+            if path[-1].key == "var"
+            else jnp.asarray(rng.standard_normal(s.shape) * 0.1, s.dtype)),
+        state)
+
+    outs = {}
+    for fused in (True, False):
+        cfg = dataclasses.replace(cfg0, use_fused_knn=fused)
+        logits, _ = jax.jit(
+            lambda p, s, x, c: apply_dgcnn_seg(
+                p, s, x, c, cfg=cfg, training=False, bn_decay=None,
+                rng=jax.random.PRNGKey(3)),
+        )(params, state, x, cat)
+        outs[fused] = np.asarray(logits)
+    scale = np.abs(outs[False]).max()
+    close = np.abs(outs[True] - outs[False]) <= 5e-2 * scale
+    assert close.mean() > 0.98, f"only {close.mean():.4f} of logits agree"
+
+
 def test_conv_minmax_on_device(data):
     """Compiled minmax kernel == XLA conv + k-extrema (bf16 bit-exact)."""
     from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (

@@ -857,7 +857,7 @@ def apply_edge_conv_stage_fused(
         return out, ns1, ns2
 
     from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
-        conv_minmax_pallas,
+        conv_zmax_pallas,
     )
     from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import (
         _knn_edge_impl,
@@ -879,14 +879,14 @@ def apply_edge_conv_stage_fused(
         _, y1, _ = knn_edge_gather(g_src, v, u, k, 256, interpret, fast)
     s1, t1, _ = _bn_affine(state1["mean"], state1["var"], params1["gamma"],
                            params1["beta"], eps)
-    ymax, amax, ymin, amin, _ = conv_minmax_pallas(
-        y1, params2["w"].astype(f.dtype), params2["b"], s1, t1,
-        interpret=interpret)
     s2, t2, _ = _bn_affine(state2["mean"], state2["var"], params2["gamma"],
                            params2["beta"], eps)
-    ysel, _ = _minmax_select(ymax, amax, ymin, amin, s2)
-    z = ysel.astype(jnp.float32) * s2 + t2
-    out = jax.nn.relu(z).astype(f.dtype)
+    # population BN2 is known before launch: fold it into the kernel and
+    # track ONE extremum of z (no indices/moments/min — value-identical
+    # to minmax emission + sign(s2) selection)
+    out = conv_zmax_pallas(
+        y1, params2["w"].astype(f.dtype), params2["b"], s2, t2, s1, t1,
+        interpret=interpret)
     if want_graph:
         return out, state1, state2, graph
     return out, state1, state2
@@ -1129,16 +1129,14 @@ def apply_conv_bn_relu_kmax(
         return out, new_state
 
     from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
-        conv_minmax_pallas,
+        conv_zmax_pallas,
     )
 
-    ymax, amax, ymin, amin, _ = conv_minmax_pallas(
-        h, params["w"].astype(h.dtype), params["b"], interpret=interpret)
     s, t, _ = _bn_affine(state["mean"], state["var"], params["gamma"],
                          params["beta"], eps)
-    ysel, _ = _minmax_select(ymax, amax, ymin, amin, s)
-    z = ysel.astype(jnp.float32) * s + t
-    return jax.nn.relu(z).astype(h.dtype), state
+    return conv_zmax_pallas(
+        h, params["w"].astype(h.dtype), params["b"], s, t,
+        interpret=interpret), state
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -1241,16 +1239,15 @@ def apply_conv_bn_relu_nmax(
         return out, new_state
 
     from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
-        conv_nmax_pallas,
+        conv_znmax_pallas,
     )
 
-    ymax, amax, ymin, amin, _ = conv_nmax_pallas(
-        h, params["w"].astype(h.dtype), params["b"], interpret=interpret)
     s, t, _ = _bn_affine(state["mean"], state["var"], params["gamma"],
                          params["beta"], eps)
-    ysel, _ = _minmax_select(ymax, amax, ymin, amin, s)
-    z = ysel * s + t
-    return jax.nn.relu(z).astype(h.dtype), state
+    out = conv_znmax_pallas(
+        h, params["w"].astype(h.dtype), params["b"], s, t,
+        interpret=interpret)
+    return out.astype(h.dtype), state
 
 
 def dropout(x: jax.Array, rng, keep_prob: float, *, training: bool) -> jax.Array:

@@ -221,6 +221,205 @@ def conv_minmax_pallas(h1, w2, b2, scale1=None, shift1=None, *,
     return ymax[sl], amax[sl], ymin[sl], amin[sl], mom[:2, :c2]
 
 
+def _kernel_conv_zmax(h_ref, scale_ref, shift_ref, w_ref, b_ref, s2_ref,
+                      t2_ref, out_ref, *, k: int, c1: int, fold: bool):
+    """Eval-only variant of _kernel_conv_minmax: BN2 is FOLDED INTO the
+    kernel (population stats are known before launch, so z = s2*y + t2 is
+    computable per neighbor slot) and the k-max runs directly on z — one
+    running maximum, no min tracking, no argindices, no moments, ONE
+    [B, N, C2] output instead of four plus moments. Monotonicity makes
+    this value-identical to minmax-emission + sign(s2) selection (up to
+    FMA contraction of s2*y + t2 — 1 f32 ulp; exact in bf16)."""
+    h = h_ref[0]                      # [TM, k*C1]
+    w = w_ref[...]                    # [C1, C2]
+    b = b_ref[...]                    # [1, C2] f32
+    s2 = s2_ref[...]                  # [1, C2] f32 (BN2 affine)
+    t2 = t2_ref[...]
+    scale = scale_ref[...]            # [1, C1] f32 (BN1 fold)
+    shift = shift_ref[...]
+
+    zmax = None
+    for j in range(k):
+        hj = h[:, j * c1:(j + 1) * c1]
+        if fold:
+            hj = jax.nn.relu(
+                hj.astype(jnp.float32) * scale + shift).astype(h.dtype)
+        yj = jax.lax.dot_general(
+            hj, w,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b
+        # round to the compute dtype first (parity with the stored-tensor
+        # path), then the monotone-affine BN2 on the f32 upcast
+        zj = yj.astype(h.dtype).astype(jnp.float32) * s2 + t2
+        zmax = zj if j == 0 else jnp.maximum(zj, zmax)
+    out_ref[0] = jax.nn.relu(zmax).astype(h.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("row_tile", "interpret"))
+def conv_zmax_pallas(h1, w2, b2, s2, t2, scale1=None, shift1=None, *,
+                     row_tile: int = 256, interpret: bool = False):
+    """Eval forward: relu(max_j (s2 * (act(h1_j) @ w2 + b2) + t2)).
+
+    The inference-path replacement for conv_minmax_pallas + _minmax_select
+    + the XLA z/relu pass (models/layers.py eval branches): BN2's
+    population affine (s2, t2) is an input, so only one extremum is
+    tracked and the only output is the [B, N, C2] stage result.
+    Value-identical to the minmax composition (monotone-affine argument,
+    module docstring fact 2).
+
+    Args:
+      h1: [B, N, k, C1] activations or raw conv output (bf16 TPU path).
+      w2: [C1, C2] conv weight (h1.dtype).
+      b2: [C2] f32 bias.
+      s2, t2: [C2] f32 BN2 population affine.
+      scale1, shift1: optional [C1] f32 BN1 fold (see conv_minmax_pallas).
+
+    Returns:
+      out [B, N, C2] h1.dtype.
+    """
+    b, n, k, c1 = h1.shape
+    c2 = w2.shape[1]
+    c1p = _round_up(c1, 8)
+    c2p = _round_up(c2, 128)
+    fold = scale1 is not None
+    if not fold:
+        scale1 = jnp.ones((c1,), jnp.float32)
+        shift1 = jnp.zeros((c1,), jnp.float32)
+    if c1p != c1:
+        h1 = jnp.pad(h1, ((0, 0), (0, 0), (0, 0), (0, c1p - c1)))
+        w2 = jnp.pad(w2, ((0, c1p - c1), (0, 0)))
+        scale1 = jnp.pad(scale1, (0, c1p - c1))
+        shift1 = jnp.pad(shift1, (0, c1p - c1))
+    if c2p != c2:
+        w2 = jnp.pad(w2, ((0, 0), (0, c2p - c2)))
+        b2 = jnp.pad(b2, (0, c2p - c2))
+        s2 = jnp.pad(s2, (0, c2p - c2))
+        t2 = jnp.pad(t2, (0, c2p - c2))
+    tm = min(row_tile, _round_up(n, 8))
+    budget = 6 << 20
+    per_row = k * c1p * h1.dtype.itemsize + c2p * 4
+    tm = max(8, min(tm, _round_up(budget // max(per_row, 1), 8)))
+    n_pad = _round_up(n, tm)
+    if n_pad != n:
+        h1 = jnp.pad(h1, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
+    h1 = h1.reshape(b, n_pad, k * c1p)
+
+    kernel = functools.partial(_kernel_conv_zmax, k=k, c1=c1p, fold=fold)
+    vec1 = pl.BlockSpec((1, c1p), lambda bi, i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    vec2 = pl.BlockSpec((1, c2p), lambda bi, i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_pad // tm),
+        in_specs=[
+            pl.BlockSpec((1, tm, k * c1p), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            vec1,
+            vec1,
+            pl.BlockSpec((c1p, c2p), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec2,
+            vec2,
+            vec2,
+        ],
+        out_specs=pl.BlockSpec((1, tm, c2p), lambda bi, i: (bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c2p), h1.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 << 20),
+    )(h1, scale1.astype(jnp.float32)[None, :],
+      shift1.astype(jnp.float32)[None, :], w2,
+      b2.astype(jnp.float32)[None, :], s2.astype(jnp.float32)[None, :],
+      t2.astype(jnp.float32)[None, :])
+    return out[:, :n, :c2]
+
+
+def _kernel_conv_znmax(h_ref, w_ref, b_ref, s2_ref, t2_ref, out_ref, *,
+                       n_valid: int, n_pad: int):
+    """Eval-only conv_nmax: running per-channel max of z = s2*y + t2 over
+    the POINT axis (revisited [1, C2] block across row tiles); padded rows
+    are poisoned with -inf."""
+    i = pl.program_id(1)
+    h = h_ref[0]                      # [TM, C1]
+    w = w_ref[...]
+    b = b_ref[...]
+    s2 = s2_ref[...]
+    t2 = t2_ref[...]
+
+    y = jax.lax.dot_general(
+        h, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b
+    z = y.astype(h.dtype).astype(jnp.float32) * s2 + t2
+    if n_valid < n_pad:
+        tm = h.shape[0]
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0) + i * tm
+        z = jnp.where(row_ids < n_valid, z, jnp.full_like(z, -jnp.inf))
+    tmax = jnp.max(z, axis=0, keepdims=True)  # [1, C2]
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.full_like(out_ref, -jnp.inf)
+
+    out_ref[...] = jnp.maximum(out_ref[...], tmax)
+
+
+@functools.partial(jax.jit, static_argnames=("row_tile", "interpret"))
+def conv_znmax_pallas(h, w, b, s2, t2, *, row_tile: int = 512,
+                      interpret: bool = False):
+    """Eval forward of the global-aggregation block:
+    relu(max_n (s2 * (h @ w + b) + t2)) — the inference replacement for
+    conv_nmax_pallas + _minmax_select (population BN folded in, one
+    running maximum, no indices/moments).
+
+    Returns out f32 [B, C2] (relu applied)."""
+    bsz, n, c1 = h.shape
+    c2 = w.shape[1]
+    c1p = _round_up(c1, 8)
+    c2p = _round_up(c2, 128)
+    if c1p != c1:
+        h = jnp.pad(h, ((0, 0), (0, 0), (0, c1p - c1)))
+        w = jnp.pad(w, ((0, c1p - c1), (0, 0)))
+    if c2p != c2:
+        w = jnp.pad(w, ((0, 0), (0, c2p - c2)))
+        b = jnp.pad(b, (0, c2p - c2))
+        s2 = jnp.pad(s2, (0, c2p - c2))
+        t2 = jnp.pad(t2, (0, c2p - c2))
+    tm = min(row_tile, _round_up(n, 8))
+    budget = 6 << 20
+    per_row = c1p * h.dtype.itemsize + c2p * 4
+    tm = max(8, min(tm, _round_up(budget // max(per_row, 1), 8)))
+    n_pad = _round_up(n, tm)
+    if n_pad != n:
+        h = jnp.pad(h, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    kernel = functools.partial(_kernel_conv_znmax, n_valid=n, n_pad=n_pad)
+    vec2 = pl.BlockSpec((1, c2p), lambda bi, i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, n_pad // tm),
+        in_specs=[
+            pl.BlockSpec((1, tm, c1p), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c1p, c2p), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec2,
+            vec2,
+            vec2,
+        ],
+        out_specs=pl.BlockSpec((1, 1, c2p), lambda bi, i: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, 1, c2p), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 << 20),
+    )(h, w, b.astype(jnp.float32)[None, :], s2.astype(jnp.float32)[None, :],
+      t2.astype(jnp.float32)[None, :])
+    return jax.nn.relu(out[:, 0, :c2])
+
+
 def _kernel_cbk_bwd(h_ref, scale_ref, shift_ref, mean_ref, inv_ref, q_ref,
                     a_ref, wt_ref, m_ref, r0_ref, dh_ref, tsp_ref, gram_ref,
                     s1_ref, *, k: int, c1: int, fold: bool):
