@@ -305,6 +305,25 @@ class ShapeNetTrainer(_TrainerBase):
                 pershape[cat] * shape_cnt[cat] + iou) / (shape_cnt[cat] + 1)
             shape_cnt[cat] += 1
 
+        pending = []  # one-batch device lag: (views, valid, device prob)
+
+        def drain():
+            views, valid, prob = pending.pop()
+            prob = np.asarray(prob)  # the only D2H sync
+            for v_i in range(valid):
+                sid, sel = views[v_i]
+                e = shapes[sid]
+                # first estimate wins: original positions beat duplicate
+                # padding (the reference keeps Z_prob_LP[pts_idx], the
+                # first len(pts) rows) and earlier views beat pad repeats
+                uniq, first = np.unique(sel, return_index=True)
+                fresh = first[~e["written"][uniq]]
+                e["prob"][sel[fresh]] = prob[v_i][fresh]
+                e["written"][sel[fresh]] = True
+                e["left"] -= 1
+                if e["left"] == 0:
+                    finish(sid)
+
         def flush(force=False):
             while queue and (len(queue) >= batch_size or force):
                 views = queue[:batch_size]
@@ -328,20 +347,13 @@ class ShapeNetTrainer(_TrainerBase):
                         ridge=lp.ridge, solver=lp.solver,
                         cg_iters=lp.cg_iters,
                     )
-                prob = np.asarray(prob)
-                for v_i in range(valid):
-                    sid, sel = views[v_i]
-                    e = shapes[sid]
-                    # first estimate wins: original positions beat duplicate
-                    # padding (the reference keeps Z_prob_LP[pts_idx], the
-                    # first len(pts) rows) and earlier views beat pad repeats
-                    uniq, first = np.unique(sel, return_index=True)
-                    fresh = first[~e["written"][uniq]]
-                    e["prob"][sel[fresh]] = prob[v_i][fresh]
-                    e["written"][sel[fresh]] = True
-                    e["left"] -= 1
-                    if e["left"] == 0:
-                        finish(sid)
+                # dispatch is async: batch i's D2H fetch + host scatter-back
+                # happen while the device runs batch i+1's forward + LP
+                # (finish() can free a shape's buffers only AFTER its views
+                # drain, so the lag is exactly one batch)
+                if pending:
+                    drain()
+                pending.append((views, valid, prob))
 
         for i in range(len(testset)):
             pts, seg, cat = testset[i]
@@ -356,6 +368,8 @@ class ShapeNetTrainer(_TrainerBase):
             queue.extend((i, sel) for sel in sels)
             flush()
         flush(force=True)
+        if pending:
+            drain()
         seen = shape_cnt > 0
         return {
             "perdata_miou": float(np.mean(per_data_iou)),
