@@ -716,16 +716,23 @@ from weaksuppointcloudseg_tpu.utils.synth_convergence import (  # noqa: E402
 def test_fast_config_convergence_matches_parity_on_device():
     """Seeded regression for the recommended fast config's ACCURACY claim:
     bf16 + fused kernels + packed-min selection must converge to the same
-    val mIoU band as the f32 parity path on the learnable synthetic set
-    (the committed form of the knn_fast promotion A/B, docs/kernels.md).
-    Catches a future kernel change that silently degrades training."""
+    val mIoU band as the f32 parity path on the learnable synthetic set.
+    Catches a future kernel change that silently degrades training.
+
+    Tolerance is calibrated from the round-4 multi-seed A/B
+    (scripts/convergence_ab.py, docs/kernels.md "Round 4"): the paired
+    per-seed fast-parity mIoU difference had sd 0.067 over seeds 0-4
+    (seed 0 itself measured +0.013), so 0.18 ~= |mean| + 2 sd covers the
+    trajectory-divergence band a numerics-changing-but-healthy kernel
+    edit can induce while still failing loudly on real degradation
+    (a broken kernel lands at chance mIoU ~0.2, a ~0.55 drop)."""
     miou_fast = _train_and_eval_miou("bfloat16", True)
     miou_parity = _train_and_eval_miou("float32", False)
     # both must actually learn (chance mIoU on 3 parts ~ 0.2), and the
-    # fast config must be within the observed run-to-run band of parity
+    # fast config must be within the measured run-to-run band of parity
     assert miou_parity > 0.5, f"parity path failed to learn: {miou_parity}"
     assert miou_fast > 0.5, f"fast path failed to learn: {miou_fast}"
-    assert miou_fast > miou_parity - 0.15, (
+    assert miou_fast > miou_parity - 0.18, (
         f"fast config degraded: {miou_fast:.3f} vs parity "
         f"{miou_parity:.3f}")
 
@@ -736,8 +743,9 @@ def test_s3dis_fast_config_convergence_on_device(tmp_path):
     (bf16 + fused kernels + packed-min selection, Full style, the second
     dataset's recommended production config): the trainer must converge
     on the learnable synthetic block set (data/s3dis.py::write_synthetic,
-    z-correlated labels). Measured 53.3% val mIoU at 24 epochs / ~43 s on
-    v5e; the bar leaves a wide run-to-run band."""
+    z-correlated labels). Round-4 A/B over seeds 0-4: mean 0.517 val
+    mIoU, sd 0.029, min 0.484 (docs/kernels.md "Round 4"); the 0.35 bar
+    sits ~5 sd below the mean yet far above chance (~1/13)."""
     from weaksuppointcloudseg_tpu.utils.synth_convergence import (
         s3dis_train_and_eval_miou,
     )
@@ -907,10 +915,12 @@ def test_knn_edge_pre_matches_selecting_on_device(data):
 def test_static_graph_convergence_on_device():
     """Seeded accuracy evidence for the opt-in static-graph turbo mode
     (ModelConfig.static_graph): bf16 + fast + static graph must LEARN on
-    the learnable synthetic set. Measured A/B over seeds {0, 1}: static
-    0.757 / 0.750 vs dynamic 0.754 / 0.824 val mIoU — static sits at the
-    lower edge of the dynamic run-to-run band (hence opt-in, not the
-    default; DGCNN's dynamic-graph ablation shows the same direction).
+    the learnable synthetic set. Round-4 A/B over seeds 0-4
+    (docs/kernels.md "Round 4"): paired static-dynamic mIoU difference
+    +0.004 +- 0.051 sd — statistically indistinguishable on synthetic.
+    It stays opt-in anyway: dynamic feature-space graphs are the
+    reference's semantics (DGCNN's defining design, and its real-data
+    ablation favors them), which a synthetic A/B cannot arbitrate.
     Step time 96.7 -> 89.3 ms on the v5e flagship."""
     miou = _train_and_eval_miou("bfloat16", True, static_graph=True)
     assert miou > 0.5, f"static-graph config failed to learn: {miou}"
