@@ -461,3 +461,23 @@ def test_whole_stage_want_graph(rng):
     for a, b_ in zip(jax.tree_util.tree_leaves(gw),
                      jax.tree_util.tree_leaves(g0)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_znmax_n_valid_masks_padded_rows(rng):
+    """conv_znmax with pre-padded rows + n_valid: huge padded-row values
+    must not win the global N-max (the eval pad-once fast path)."""
+    from weaksuppointcloudseg_tpu.ops.conv_kmax_pallas import (
+        conv_znmax_pallas,
+    )
+
+    b, n, c1, c2 = 2, 70, 8, 16
+    h = jnp.asarray(rng.standard_normal((b, n, c1)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((c1, c2)), jnp.float32)
+    bb = jnp.asarray(rng.standard_normal((c2,)), jnp.float32)
+    s2 = jnp.asarray(rng.standard_normal((c2,)), jnp.float32)
+    t2 = jnp.asarray(rng.standard_normal((c2,)), jnp.float32)
+    out = conv_znmax_pallas(h, w, bb, s2, t2, interpret=True)
+    hp = jnp.concatenate(
+        [h, jnp.full((b, 58, c1), 1e9, jnp.float32)], axis=1)
+    out_p = conv_znmax_pallas(hp, w, bb, s2, t2, interpret=True, n_valid=n)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_p))

@@ -419,3 +419,39 @@ def test_knn_edge_pre_matches_selecting(rng):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gu), np.asarray(gu_r),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_knn_edge_n_valid_prepadded_matches_unpadded(rng):
+    """Pre-padded inputs + n_valid (the eval pad-once fast path,
+    docs/kernels.md round 4) reproduce the unpadded call bit-for-bit on
+    the real rows: the kernel's column mask must treat explicit padding
+    exactly like its own internal padding."""
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import _knn_edge_impl
+
+    b, n, k, cg, co = 2, 90, 5, 8, 16
+    n_pad = 128  # the internal pad target at row_tile=32 x tiles 2
+    g = jnp.asarray(rng.standard_normal((b, n, cg)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, co)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((b, n, co)), jnp.float32)
+    gp = jnp.pad(g, ((0, 0), (0, n_pad - n), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, n_pad - n), (0, 0)))
+    up = jnp.pad(u, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    for fast in (False, True):
+        idx, y, _ = _knn_edge_impl(g, v, u, k, 32, True, fast)
+        idx_p, y_p, _ = _knn_edge_impl(gp, vp, up, k, 32, True, fast,
+                                       n_valid=n)
+        np.testing.assert_array_equal(np.asarray(idx),
+                                      np.asarray(idx_p)[:, :n])
+        np.testing.assert_array_equal(np.asarray(y),
+                                      np.asarray(y_p)[:, :n])
+
+    outs = _knn_edge_impl(g, v, u, k, 32, True, True, with_minmax=True,
+                          with_values=True)
+    outs_p = _knn_edge_impl(gp, vp, up, k, 32, True, True, with_minmax=True,
+                            with_values=True, n_valid=n)
+    for got, want in zip(outs_p[3:7], outs[3:7]):  # ymax, amax, ymin, amin
+        np.testing.assert_array_equal(np.asarray(got)[:, :n],
+                                      np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(outs_p[-1])[:, :n],
+                                  np.asarray(outs[-1]))

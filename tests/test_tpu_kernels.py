@@ -924,3 +924,59 @@ def test_static_graph_convergence_on_device():
     Step time 96.7 -> 89.3 ms on the v5e flagship."""
     miou = _train_and_eval_miou("bfloat16", True, static_graph=True)
     assert miou > 0.5, f"static-graph config failed to learn: {miou}"
+
+
+def test_eval_prepadded_n_valid_matches_unpadded_on_device():
+    """The eval pad-once fast path (make_eval_step pads N=unaligned ->
+    512-multiple, forwards with n_valid) must match the fused eval
+    forward at the original N.
+
+    Tolerance, not bit-exact, and only because of the XLA seg head: a
+    standalone replica of the full kernel sequence (every fused stage +
+    znmax, all with n_valid) IS bit-identical across the two shapes on
+    device — the n_valid column mask exactly reproduces the kernels'
+    internal padding (that bit-exactness is pinned by the CPU interpret
+    tests in test_edgeconv_pallas.py / test_conv_kmax_pallas.py). But
+    the model's bf16 XLA head reruns the same per-point math with
+    different roundings per compilation: two jits of the SAME unpadded
+    graph already differ by ~6e-4 on axon, and the padded-shape
+    compilation lands ~2e-3 away (~0.6% of logit scale) — measured
+    round 4, docs/kernels.md. A real masking bug (a padded row winning a
+    max, a neighbor leaking) moves logits at O(scale), far above this
+    band."""
+    import dataclasses
+    from weaksuppointcloudseg_tpu import configs
+    from weaksuppointcloudseg_tpu.models.dgcnn import (
+        init_dgcnn_seg, apply_dgcnn_seg)
+    from weaksuppointcloudseg_tpu.utils.tools import onehot_encode
+
+    cfg = dataclasses.replace(
+        configs.shapenet_config().model, compute_dtype="bfloat16",
+        num_points=520)
+    rng = np.random.default_rng(7)
+    n = 520
+    x = jax.device_put(rng.standard_normal((2, n, 3)).astype(np.float32))
+    cat = jax.device_put(
+        onehot_encode(rng.integers(0, cfg.num_categories, (2,)),
+                      cfg.num_categories))
+    params, state = init_dgcnn_seg(jax.random.PRNGKey(0), cfg)
+
+    def fwd(xx, n_valid=None):
+        logits, _ = jax.jit(
+            lambda p, s, xx: apply_dgcnn_seg(
+                p, s, xx, cat, cfg=cfg, training=False, bn_decay=None,
+                rng=jax.random.PRNGKey(3), n_valid=n_valid),
+        )(params, state, xx)
+        return np.asarray(logits)
+
+    base = fwd(x)
+    n_pad = -(-n // 512) * 512
+    xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+    padded = fwd(xp, n_valid=n)[:, :n]
+    scale = float(np.abs(base).max())
+    maxdiff = float(np.abs(base - padded).max())
+    assert maxdiff <= 0.02 * scale, (
+        f"pad-once eval diverged beyond recompilation noise: "
+        f"maxdiff={maxdiff} at logit scale {scale}")
+    agree = float((base.argmax(-1) == padded.argmax(-1)).mean())
+    assert agree >= 0.98, f"argmax agreement {agree} < 0.98"

@@ -110,8 +110,17 @@ def apply_dgcnn_seg(
     head_bn_fixed_decay: Optional[float] = None,
     axis_name=None,
     want_smooth_graph: bool = False,
+    n_valid: Optional[int] = None,
 ):
     """Forward pass. Returns (logits [B, N, num_classes], new BN state).
+
+    ``n_valid`` (fused bf16 eval only): ``x`` is pre-padded along N to a
+    kernel-aligned width; only rows < n_valid are real points. The
+    selection kernels exclude padded rows as neighbor candidates and the
+    global N-max ignores them; per-point outputs for padded rows are
+    garbage the caller slices off. This removes every per-kernel
+    XLA pad/slice at unaligned eval shapes (N=3000 -> 3072,
+    docs/kernels.md round 4).
 
     ``axis_name``: shard_map data-parallel axis name. When set, every BN
     (XLA path and fused custom-VJP blocks alike) computes GLOBAL batch
@@ -168,6 +177,11 @@ def apply_dgcnn_seg(
         assert training and cfg.use_transform_net and fused_tpu, (
             "want_smooth_graph reuses the fused transform stage's kNN "
             "graph — training + use_transform_net + fused bf16/TPU only")
+    if n_valid is not None:
+        assert (not training and fused_tpu
+                and all(len(w) in (1, 2) for w in cfg.edge_channels)), (
+            "n_valid (pre-padded points) is an eval-only fast path of "
+            "the fused bf16/TPU kernels (1- or 2-conv EdgeConv stages)")
 
     # static-graph mode (opt-in, NOT reference parity): one kNN graph on
     # the input coordinates, reused by every EdgeConv stage — the
@@ -192,7 +206,7 @@ def apply_dgcnn_seg(
                 bn_eps=cfg.bn_eps,
                 fused_graph=g.astype(compute_dtype), k=cfg.k,
                 fast=cfg.knn_fast, axis_name=axis_name,
-                want_graph=want_tgraph,
+                want_graph=want_tgraph, n_valid=n_valid,
             )
             transform, new_state["transform_net"] = touts[:2]
             if want_smooth_graph:
@@ -231,6 +245,9 @@ def apply_dgcnn_seg(
         # producer (only the two-conv fused stage emits its graph): one
         # standalone kNN on the input coordinates (knn_graph_fused falls
         # back to the XLA path off-TPU itself)
+        assert n_valid is None, (
+            "n_valid does not thread through the standalone static-graph "
+            "kNN producer")
         static_idx = (
             knn_ops.knn_graph_fused(graph_feat, cfg.k, fast=cfg.knn_fast)
             if cfg.use_fused_knn else knn_ops.knn_graph(graph_feat, cfg.k))
@@ -262,7 +279,8 @@ def apply_dgcnn_seg(
             outs = layers.apply_edge_conv_stage_fused(
                 params[name], state[name], params[name2], state[name2],
                 f_in, src, cfg.k, fast=cfg.knn_fast,
-                want_graph=produce_graph, reuse_idx=static_idx, **kw)
+                want_graph=produce_graph, reuse_idx=static_idx,
+                n_valid=n_valid, **kw)
             out, new_state[name], new_state[name2] = outs[:3]
             if produce_graph:
                 static_idx = outs[3][0]
@@ -274,7 +292,8 @@ def apply_dgcnn_seg(
             # (layers.apply_edge_conv_stage1_fused)
             out, new_state[name] = layers.apply_edge_conv_stage1_fused(
                 params[name], state[name], f_in, src, cfg.k,
-                fast=cfg.knn_fast, reuse_idx=static_idx, **kw)
+                fast=cfg.knn_fast, reuse_idx=static_idx, n_valid=n_valid,
+                **kw)
             conv_i += 1
             stage_outputs.append(out)
             continue
@@ -303,7 +322,8 @@ def apply_dgcnn_seg(
         # agg conv + BN + relu + max-over-N fused: the [B, N, 1024]
         # global-feature tensor never reaches HBM
         global_feat, new_state["agg_conv"] = layers.apply_conv_bn_relu_nmax(
-            params["agg_conv"], state["agg_conv"], concat, **kw)
+            params["agg_conv"], state["agg_conv"], concat, n_valid=n_valid,
+            **kw)
     else:
         g, new_state["agg_conv"] = layers.apply_conv(
             params["agg_conv"], state["agg_conv"], concat, **kw

@@ -823,6 +823,7 @@ def apply_edge_conv_stage_fused(
     axis_name=None,
     want_graph: bool = False,
     reuse_idx: Optional[jax.Array] = None,
+    n_valid: Optional[int] = None,
 ):
     """Whole fused EdgeConv stage: kNN + conv1+BN+relu + conv2+BN+relu +
     k-max (reference DGCNN_ShapeNet.py:32-62 per stage). Returns
@@ -831,8 +832,12 @@ def apply_edge_conv_stage_fused(
     kNN graph for reuse by the smoothness loss (losses/weaksup.py) or by
     later static-graph stages. ``reuse_idx`` (static-graph mode): skip
     this stage's own kNN and gather along the given [B, N, k] graph
-    instead (_edge_conv_stage_pre_train)."""
+    instead (_edge_conv_stage_pre_train). ``n_valid`` (eval only): the
+    inputs are pre-padded along N; only rows < n_valid are neighbor
+    candidates (the eval step pads once so no per-kernel pad/slice
+    traffic exists — docs/kernels.md round 4)."""
     if training:
+        assert n_valid is None, "n_valid is an eval-only fast path"
         if reuse_idx is not None:
             assert not want_graph, "a reusing stage has no graph to emit"
             outs = _edge_conv_stage_pre_train(
@@ -862,7 +867,6 @@ def apply_edge_conv_stage_fused(
     from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import (
         _knn_edge_impl,
         _knn_edge_pre_impl,
-        knn_edge_gather,
     )
 
     u, v = _uv_factor(params1["w"], params1["b"], f)
@@ -873,10 +877,13 @@ def apply_edge_conv_stage_fused(
     elif want_graph:
         # eval static-graph producer: surface (idx, sqd) for later stages
         idx, y1, _, sqd = _knn_edge_impl(
-            g_src, v, u, k, 256, interpret, fast, with_values=True)
+            g_src, v, u, k, 256, interpret, fast, with_values=True,
+            n_valid=n_valid)
         graph = (idx, sqd)
     else:
-        _, y1, _ = knn_edge_gather(g_src, v, u, k, 256, interpret, fast)
+        # no VJP needed at eval: call the impl directly so n_valid threads
+        _, y1, _ = _knn_edge_impl(
+            g_src, v, u, k, 256, interpret, fast, n_valid=n_valid)
     s1, t1, _ = _bn_affine(state1["mean"], state1["var"], params1["gamma"],
                            params1["beta"], eps)
     s2, t2, _ = _bn_affine(state2["mean"], state2["var"], params2["gamma"],
@@ -1065,12 +1072,15 @@ def apply_edge_conv_stage1_fused(
     interpret: bool = False,
     axis_name=None,
     reuse_idx: Optional[jax.Array] = None,
+    n_valid: Optional[int] = None,
 ) -> Tuple[jax.Array, State]:
     """Whole single-conv EdgeConv stage incl. k-max (reference
     DGCNN_ShapeNet.py:66-78). Returns ([B, N, C] output, new BN state).
     ``reuse_idx`` (static-graph mode): gather along the given [B, N, k]
-    graph instead of computing this stage's own kNN."""
+    graph instead of computing this stage's own kNN. ``n_valid``: see
+    apply_edge_conv_stage_fused (eval pre-padded inputs)."""
     if training:
+        assert n_valid is None, "n_valid is an eval-only fast path"
         if reuse_idx is not None:
             out, mean, var = _edge_conv_stage1_pre_train(
                 k, eps, interpret, axis_name, params["w"], params["b"],
@@ -1096,7 +1106,8 @@ def apply_edge_conv_stage1_fused(
             reuse_idx, v, u, k, 256, interpret, with_minmax=True)
     else:
         _, _, _, ymax, amax, ymin, amin = _knn_edge_impl(
-            g_src, v, u, k, 256, interpret, fast, with_minmax=True)
+            g_src, v, u, k, 256, interpret, fast, with_minmax=True,
+            n_valid=n_valid)
     s, t, _ = _bn_affine(state["mean"], state["var"], params["gamma"],
                          params["beta"], eps)
     ysel, _ = _minmax_select(ymax, amax, ymin, amin, s)
@@ -1225,10 +1236,14 @@ def apply_conv_bn_relu_nmax(
     eps: float = BN_EPS,
     interpret: bool = False,
     axis_name=None,
+    n_valid: Optional[int] = None,
 ) -> Tuple[jax.Array, State]:
     """Global-aggregation conv + BN + relu + max over N as one fused
-    block. Returns ([B, C2] global feature, new BN state)."""
+    block. Returns ([B, C2] global feature, new BN state). ``n_valid``:
+    see apply_edge_conv_stage_fused (eval pre-padded inputs; padded rows
+    must not win the N-max)."""
     if training:
+        assert n_valid is None, "n_valid is an eval-only fast path"
         out, mean, var = _conv_bn_nmax_train(
             eps, interpret, axis_name, params["w"], params["b"],
             params["gamma"], params["beta"], h)
@@ -1246,7 +1261,7 @@ def apply_conv_bn_relu_nmax(
                          params["beta"], eps)
     out = conv_znmax_pallas(
         h, params["w"].astype(h.dtype), params["b"], s, t,
-        interpret=interpret)
+        interpret=interpret, n_valid=n_valid)
     return out.astype(h.dtype), state
 
 

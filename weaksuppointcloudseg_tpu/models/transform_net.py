@@ -50,6 +50,7 @@ def apply_transform_net(
     fast: bool = False,
     axis_name=None,  # shard_map DP axis: cross-replica BN moments
     want_graph: bool = False,  # also return the stage's (idx, sqd) kNN graph
+    n_valid=None,  # eval pre-padded inputs (see apply_edge_conv_stage_fused)
 ):
     """Returns (transform [B, K, K], new BN state); with ``want_graph``
     (fused path only) appends the tconv stage's gradient-free kNN graph
@@ -72,7 +73,7 @@ def apply_transform_net(
         outs = layers.apply_edge_conv_stage_fused(
             params["tconv1"], state["tconv1"], params["tconv2"],
             state["tconv2"], fused_graph, fused_graph, k,
-            fast=fast, want_graph=want_graph, **kw)
+            fast=fast, want_graph=want_graph, n_valid=n_valid, **kw)
         net, new_state["tconv1"], new_state["tconv2"] = outs[:3]
         if want_graph:
             graph = outs[3]
@@ -93,8 +94,9 @@ def apply_transform_net(
         # in docs/kernels.md found the 3-D axis=1 pattern safe in
         # isolation, but inside the transform net it is not).
         net, new_state["tconv3"] = layers.apply_conv_bn_relu_nmax(
-            params["tconv3"], state["tconv3"], net, **kw)
+            params["tconv3"], state["tconv3"], net, n_valid=n_valid, **kw)
     else:
+        assert n_valid is None, "n_valid needs the fused eval path"
         net, new_state["tconv3"] = layers.apply_conv(
             params["tconv3"], state["tconv3"], net, **kw)
         net = jnp.max(net, axis=1)  # max over N -> [B, 1024]

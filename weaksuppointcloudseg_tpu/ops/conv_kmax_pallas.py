@@ -366,13 +366,18 @@ def _kernel_conv_znmax(h_ref, w_ref, b_ref, s2_ref, t2_ref, out_ref, *,
     out_ref[...] = jnp.maximum(out_ref[...], tmax)
 
 
-@functools.partial(jax.jit, static_argnames=("row_tile", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("row_tile", "interpret", "n_valid"))
 def conv_znmax_pallas(h, w, b, s2, t2, *, row_tile: int = 512,
-                      interpret: bool = False):
+                      interpret: bool = False, n_valid=None):
     """Eval forward of the global-aggregation block:
     relu(max_n (s2 * (h @ w + b) + t2)) — the inference replacement for
     conv_nmax_pallas + _minmax_select (population BN folded in, one
     running maximum, no indices/moments).
+
+    ``n_valid``: with pre-padded inputs (the eval step pads N once so no
+    per-kernel pad/slice traffic exists — docs/kernels.md round 4), only
+    rows < n_valid enter the max; defaults to every input row.
 
     Returns out f32 [B, C2] (relu applied)."""
     bsz, n, c1 = h.shape
@@ -395,7 +400,9 @@ def conv_znmax_pallas(h, w, b, s2, t2, *, row_tile: int = 512,
     if n_pad != n:
         h = jnp.pad(h, ((0, 0), (0, n_pad - n), (0, 0)))
 
-    kernel = functools.partial(_kernel_conv_znmax, n_valid=n, n_pad=n_pad)
+    kernel = functools.partial(
+        _kernel_conv_znmax,
+        n_valid=n if n_valid is None else min(n_valid, n), n_pad=n_pad)
     vec2 = pl.BlockSpec((1, c2p), lambda bi, i: (0, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(

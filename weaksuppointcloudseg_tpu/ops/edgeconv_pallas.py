@@ -494,10 +494,14 @@ def _kernel_edge(g_rows_ref, g_all_ref, v_all_ref, u_rows_ref, idx_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "row_tile", "interpret", "fast", "with_minmax",
-                     "tiles_per_step", "with_values"))
+                     "tiles_per_step", "with_values", "n_valid"))
 def _knn_edge_impl(g, v, u, k: int, row_tile: int, interpret: bool,
                    fast: bool, with_minmax: bool = False,
-                   tiles_per_step: int = 2, with_values: bool = False):
+                   tiles_per_step: int = 2, with_values: bool = False,
+                   n_valid=None):
+    # n_valid: with pre-padded inputs (eval pads N once up front), only
+    # columns < n_valid are neighbor candidates; rows past it produce
+    # garbage outputs the caller discards. Defaults to every input row.
     # tiles_per_step=2 default: halves the grid's per-step overhead while
     # the selection state stays one-sub-tile-sized (microbench at B=64,
     # N=2048, k=20, C=64 bf16: 12.07 -> 11.88 ms with minmax, 14.02 ->
@@ -525,8 +529,9 @@ def _knn_edge_impl(g, v, u, k: int, row_tile: int, interpret: bool,
 
     idx_bits = max(1, (n_pad - 1).bit_length()) if fast else 0
     base = functools.partial(
-        _kernel_edge, k=k, n_valid=n, n_pad=n_pad, fast=fast,
-        idx_bits=idx_bits, tiles=tiles)
+        _kernel_edge, k=k,
+        n_valid=n if n_valid is None else min(n_valid, n), n_pad=n_pad,
+        fast=fast, idx_bits=idx_bits, tiles=tiles)
     # pallas passes output refs positionally in out_specs order
     # (idx, y, mom[, minmax x4][, val]); route them to the right params
     if with_minmax and with_values:

@@ -58,12 +58,13 @@ def make_forward_fn(cfg: ExperimentConfig) -> Callable:
     """Raw forward pass closure over the static model config."""
 
     def forward(params, bn_state, x, cat_onehot, *, training, bn_decay, rng,
-                axis_name=None, want_smooth_graph=False):
+                axis_name=None, want_smooth_graph=False, n_valid=None):
         return apply_dgcnn_seg(
             params, bn_state, x, cat_onehot,
             cfg=cfg.model, training=training, bn_decay=bn_decay, rng=rng,
             head_bn_fixed_decay=cfg.model.head_bn_fixed_decay,
             axis_name=axis_name, want_smooth_graph=want_smooth_graph,
+            n_valid=n_valid,
         )
 
     return forward
@@ -244,12 +245,36 @@ def make_eval_step(cfg: ExperimentConfig,
 
     forward = make_forward_fn(cfg)
     axis = mesh.axis_names[0] if mesh is not None else None
+    m = cfg.model
+    # fused bf16 eval at a kernel-unaligned N (the ShapeNet test views are
+    # 3000-pt): pad the points ONCE up front and run the whole forward at
+    # the aligned width with n_valid masking in the kernels — otherwise
+    # XLA pads/slices around every kernel call (~11 ms of the 65 ms eval
+    # forward at bs=32/N=3000 — docs/kernels.md round 4)
+    pad_eval = (
+        m.use_fused_knn and jnp.dtype(m.compute_dtype) == jnp.bfloat16
+        and jax.default_backend() in ("tpu", "axon")
+        and all(len(w) in (1, 2) for w in m.edge_channels)
+        and not (m.static_graph and not m.use_transform_net
+                 and len(m.edge_channels[0]) != 2))
 
     def _eval(state: TrainState, batch):
-        logits, _ = forward(
-            state.params, state.bn_state, batch["data"], batch.get("cat_onehot"),
-            training=False, bn_decay=None, rng=jax.random.PRNGKey(0),
-        )
+        x = batch["data"]
+        n = x.shape[1]
+        n_aligned = -(-n // 512) * 512
+        if pad_eval and n_aligned != n:
+            x = jnp.pad(x, ((0, 0), (0, n_aligned - n), (0, 0)))
+            logits, _ = forward(
+                state.params, state.bn_state, x, batch.get("cat_onehot"),
+                training=False, bn_decay=None, rng=jax.random.PRNGKey(0),
+                n_valid=n,
+            )
+            logits = logits[:, :n]
+        else:
+            logits, _ = forward(
+                state.params, state.bn_state, x, batch.get("cat_onehot"),
+                training=False, bn_decay=None, rng=jax.random.PRNGKey(0),
+            )
         loss = masked_softmax_ce(logits, batch["seg_onehot"], batch["mask"],
                                  axis_name=axis)
         return jax.nn.softmax(logits, axis=-1), loss
