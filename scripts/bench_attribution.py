@@ -156,13 +156,15 @@ def run_and_trace(dataset: str, steps: int, trace_dir: str,
     state, metrics = train_step(state, batch, gate, keys[0])  # compile
     float(metrics["total"])  # sync (scalar fetch — see module docstring)
 
-    jax.profiler.start_trace(trace_dir)
+    if trace_dir is not None:  # None: timing-only (tile_sweep.py)
+        jax.profiler.start_trace(trace_dir)
     t0 = time.perf_counter()
     for i in range(steps):
         state, metrics = train_step(state, batch, gate, keys[i + 1])
     float(metrics["total"])
     dt = time.perf_counter() - t0
-    jax.profiler.stop_trace()
+    if trace_dir is not None:
+        jax.profiler.stop_trace()
     return dt / steps
 
 
@@ -204,13 +206,15 @@ def run_and_trace_eval(dataset: str, steps: int, trace_dir: str,
     prob, _ = ev(state, batch)  # compile
     float(jax.numpy.sum(prob))
 
-    jax.profiler.start_trace(trace_dir)
+    if trace_dir is not None:  # None: timing-only (tile_sweep.py)
+        jax.profiler.start_trace(trace_dir)
     t0 = time.perf_counter()
     for _ in range(steps):
         prob, _ = ev(state, batch)
     float(jax.numpy.sum(prob))
     dt = time.perf_counter() - t0
-    jax.profiler.stop_trace()
+    if trace_dir is not None:
+        jax.profiler.stop_trace()
     return dt / steps
 
 

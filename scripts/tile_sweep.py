@@ -25,7 +25,7 @@ GRID = [(rt, tps) for rt in (128, 256, 512) for tps in (1, 2, 4)]
 
 
 def run_one(dataset: str, row_tile: int, tiles_per_step: int,
-            steps: int) -> float:
+            steps: int, mode: str = "train") -> float:
     sys.path.insert(0, REPO)
     import bench
     from weaksuppointcloudseg_tpu.ops import edgeconv_pallas as ep
@@ -40,10 +40,18 @@ def run_one(dataset: str, row_tile: int, tiles_per_step: int,
     ep._knn_edge_impl = patched
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from bench_attribution import _flagship_cfg
+    if mode == "eval":
+        # eval forward (make_eval_step) at the TEST shape — the round-4
+        # eval attribution is 94.8% _knn_edge_impl, so the eval-shape
+        # tile optimum can differ from the train-shape one
+        from bench_attribution import run_and_trace_eval
 
-    cfg = _flagship_cfg(dataset, False)
-    s = bench.time_train_step(cfg, steps=steps)
+        s = run_and_trace_eval(dataset, steps, None)
+    else:
+        from bench_attribution import _flagship_cfg
+
+        cfg = _flagship_cfg(dataset, False)
+        s = bench.time_train_step(cfg, steps=steps)
     print(f"RESULT rt={row_tile} tps={tiles_per_step} "
           f"ms={s * 1e3:.2f}", flush=True)
     return s * 1e3
@@ -53,6 +61,9 @@ def main() -> None:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--dataset", choices=["shapenet", "s3dis"],
                    default="s3dis")
+    p.add_argument("--mode", choices=["train", "eval"], default="train",
+                   help="train: Full-style train step; eval: "
+                        "make_eval_step at the test shape")
     p.add_argument("--steps", type=int, default=15)
     p.add_argument("--out", default="/tmp/tile_sweep.json")
     p.add_argument("--one", nargs=2, type=int,
@@ -61,13 +72,15 @@ def main() -> None:
     args = p.parse_args()
 
     if args.one:
-        run_one(args.dataset, args.one[0], args.one[1], args.steps)
+        run_one(args.dataset, args.one[0], args.one[1], args.steps,
+                args.mode)
         return
 
     results = {}
     for rt, tps in GRID:
         cmd = [sys.executable, os.path.abspath(__file__),
                "--dataset", args.dataset, "--steps", str(args.steps),
+               "--mode", args.mode,
                "--one", str(rt), str(tps)]
         try:
             r = subprocess.run(cmd, capture_output=True, text=True,
@@ -91,7 +104,8 @@ def main() -> None:
                           key=lambda kv: kv[1] if kv[1] else 1e9):
         print(f"  {key:<10} {ms if ms else 'FAIL'}")
     with open(args.out, "w") as f:
-        json.dump({"dataset": args.dataset, "results": results}, f, indent=1)
+        json.dump({"dataset": args.dataset, "mode": args.mode,
+                   "results": results}, f, indent=1)
     print(f"wrote {args.out}")
 
 
