@@ -52,6 +52,7 @@ BUCKETS = (
     ("scatter_bn", re.compile(r"scatter")),
     ("minmax_fwd", re.compile(r"conv_minmax|minmax")),
     ("cbk_bwd", re.compile(r"cbk|conv_kmax_bwd|kmax_bwd")),
+    ("zmax", re.compile(r"conv_zmax|zmax")),  # eval-only folded-BN k-max
     ("nmax", re.compile(r"nmax")),
     ("copy", re.compile(r"^copy|copy\.\d|copy-start|copy-done")),
     ("conv_fusion", re.compile(r"convolution|conv_general|dot")),

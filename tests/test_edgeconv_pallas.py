@@ -455,3 +455,36 @@ def test_knn_edge_n_valid_prepadded_matches_unpadded(rng):
                                       np.asarray(want))
     np.testing.assert_array_equal(np.asarray(outs_p[-1])[:, :n],
                                   np.asarray(outs[-1]))
+
+
+def test_auto_row_tile_thresholds():
+    """Shape-tuned tile selection (docs/kernels.md round-4 sweeps): 256 at
+    the ShapeNet train width, 128 once the candidate width reaches the
+    eval/S3DIS regime. layers.py routes every selection-kernel call
+    through this (models/layers.py::_auto_rt)."""
+    from weaksuppointcloudseg_tpu.models.layers import _auto_rt
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import auto_row_tile
+
+    assert auto_row_tile(64) == 256
+    assert auto_row_tile(2048) == 256
+    assert auto_row_tile(3000) == 128
+    assert auto_row_tile(3072) == 128
+    assert auto_row_tile(4096) == 128
+    assert _auto_rt(2048) == 256 and _auto_rt(4096) == 128
+
+
+def test_knn_edge_row_tile_invariance_interpret():
+    """rt=128 and rt=256 must produce identical selections/outputs — the
+    auto_row_tile switch may only change performance, never results."""
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import _knn_edge_impl
+
+    rng = np.random.default_rng(7)
+    b, n, cg, co, k = 2, 96, 8, 16, 5
+    g = jnp.asarray(rng.standard_normal((b, n, cg)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, co)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((b, n, co)), jnp.float32)
+    for fast in (False, True):
+        ref = _knn_edge_impl(g, v, u, k, 256, True, fast, with_minmax=True)
+        got = _knn_edge_impl(g, v, u, k, 128, True, fast, with_minmax=True)
+        for a, bb in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))

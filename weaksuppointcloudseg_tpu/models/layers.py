@@ -34,6 +34,14 @@ State = dict
 BN_EPS = 1e-3
 
 
+def _auto_rt(n: int) -> int:
+    """Shape-tuned selection-kernel row tile (ops/edgeconv_pallas.py::
+    auto_row_tile — 256 at the ShapeNet train width, 128 at >=~3k)."""
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import auto_row_tile
+
+    return auto_row_tile(n)
+
+
 def _axis_size(axis_name) -> jax.Array:
     """Number of shards along a shard_map axis (1 if axis_name is None)."""
     return jax.lax.psum(1, axis_name)
@@ -257,7 +265,7 @@ def _ecf_forward(k, eps, fast, interpret, axis_name, w, b, gamma, beta,
     u, v = _uv_factor(w, b, f)
     idx, y, mom = _knn_edge_impl(
         jax.lax.stop_gradient(g_src), jax.lax.stop_gradient(v),
-        jax.lax.stop_gradient(u), k, 256, interpret, fast)
+        jax.lax.stop_gradient(u), k, _auto_rt(v.shape[1]), interpret, fast)
     r = y.shape[0] * y.shape[1] * y.shape[2]
     mom, r = _psum_moments(mom, r, axis_name)
     mean = mom[0] / r
@@ -382,7 +390,7 @@ def apply_edge_conv_knn_fused(
     from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import knn_edge_gather
 
     u, v = _uv_factor(params["w"], params["b"], f)
-    _, y, _ = knn_edge_gather(g_src, v, u, k, 256, interpret, fast)
+    _, y, _ = knn_edge_gather(g_src, v, u, k, _auto_rt(v.shape[1]), interpret, fast)
     mean, var = state["mean"], state["var"]
     inv = jax.lax.rsqrt(var + eps) * params["gamma"]
     z = (y.astype(jnp.float32) - mean) * inv + params["beta"]
@@ -666,7 +674,7 @@ def _stage_fwd_math(k, eps, fast, interpret, axis_name, with_graph, w1, b1,
     u, v = _uv_factor(w1, b1, f)
     knn_out = _knn_edge_impl(
         jax.lax.stop_gradient(g_src), jax.lax.stop_gradient(v),
-        jax.lax.stop_gradient(u), k, 256, interpret, fast,
+        jax.lax.stop_gradient(u), k, _auto_rt(v.shape[1]), interpret, fast,
         with_values=with_graph)
     if with_graph:
         idx, y1, mom1, sqd = knn_out
@@ -780,7 +788,7 @@ def _stage_pre_fwd_math(k, eps, interpret, axis_name, w1, b1, gamma1, beta1,
     u, v = _uv_factor(w1, b1, f)
     y1, mom1 = _knn_edge_pre_impl(
         jax.lax.stop_gradient(idx), jax.lax.stop_gradient(v),
-        jax.lax.stop_gradient(u), k, 256, interpret)
+        jax.lax.stop_gradient(u), k, _auto_rt(v.shape[1]), interpret)
     outs, (ysel, asel, mean1, inv1, mean2, inv2) = _stage_tail(
         eps, interpret, axis_name, gamma1, beta1, w2, b2, gamma2, beta2,
         f, y1, mom1)
@@ -873,17 +881,17 @@ def apply_edge_conv_stage_fused(
     graph = None
     if reuse_idx is not None:
         assert not want_graph, "a reusing stage has no graph to emit"
-        y1, _ = _knn_edge_pre_impl(reuse_idx, v, u, k, 256, interpret)
+        y1, _ = _knn_edge_pre_impl(reuse_idx, v, u, k, _auto_rt(v.shape[1]), interpret)
     elif want_graph:
         # eval static-graph producer: surface (idx, sqd) for later stages
         idx, y1, _, sqd = _knn_edge_impl(
-            g_src, v, u, k, 256, interpret, fast, with_values=True,
+            g_src, v, u, k, _auto_rt(v.shape[1]), interpret, fast, with_values=True,
             n_valid=n_valid)
         graph = (idx, sqd)
     else:
         # no VJP needed at eval: call the impl directly so n_valid threads
         _, y1, _ = _knn_edge_impl(
-            g_src, v, u, k, 256, interpret, fast, n_valid=n_valid)
+            g_src, v, u, k, _auto_rt(v.shape[1]), interpret, fast, n_valid=n_valid)
     s1, t1, _ = _bn_affine(state1["mean"], state1["var"], params1["gamma"],
                            params1["beta"], eps)
     s2, t2, _ = _bn_affine(state2["mean"], state2["var"], params2["gamma"],
@@ -955,7 +963,7 @@ def _stage1_fwd_math(k, eps, fast, interpret, axis_name, w1, b1, gamma1,
     u, v = _uv_factor(w1, b1, f)
     idx, y1, mom, ymax, amax, ymin, amin = _knn_edge_impl(
         jax.lax.stop_gradient(g_src), jax.lax.stop_gradient(v),
-        jax.lax.stop_gradient(u), k, 256, interpret, fast,
+        jax.lax.stop_gradient(u), k, _auto_rt(v.shape[1]), interpret, fast,
         with_minmax=True)
     r = y1.shape[0] * y1.shape[1] * y1.shape[2]
     mom, r = _psum_moments(mom, r, axis_name)
@@ -1031,7 +1039,7 @@ def _stage1_pre_fwd_math(k, eps, interpret, axis_name, w1, b1, gamma1,
     u, v = _uv_factor(w1, b1, f)
     y1, mom, ymax, amax, ymin, amin = _knn_edge_pre_impl(
         jax.lax.stop_gradient(idx), jax.lax.stop_gradient(v),
-        jax.lax.stop_gradient(u), k, 256, interpret, with_minmax=True)
+        jax.lax.stop_gradient(u), k, _auto_rt(v.shape[1]), interpret, with_minmax=True)
     r = y1.shape[0] * y1.shape[1] * y1.shape[2]
     mom, r = _psum_moments(mom, r, axis_name)
     mean, var, s, t, inv = _stage_consts(gamma1, beta1, mom, r, eps)
@@ -1103,10 +1111,10 @@ def apply_edge_conv_stage1_fused(
     u, v = _uv_factor(params["w"], params["b"], f)
     if reuse_idx is not None:
         _, _, ymax, amax, ymin, amin = _knn_edge_pre_impl(
-            reuse_idx, v, u, k, 256, interpret, with_minmax=True)
+            reuse_idx, v, u, k, _auto_rt(v.shape[1]), interpret, with_minmax=True)
     else:
         _, _, _, ymax, amax, ymin, amin = _knn_edge_impl(
-            g_src, v, u, k, 256, interpret, fast, with_minmax=True,
+            g_src, v, u, k, _auto_rt(v.shape[1]), interpret, fast, with_minmax=True,
             n_valid=n_valid)
     s, t, _ = _bn_affine(state["mean"], state["var"], params["gamma"],
                          params["beta"], eps)

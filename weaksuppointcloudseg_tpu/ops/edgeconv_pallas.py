@@ -491,6 +491,22 @@ def _kernel_edge(g_rows_ref, g_all_ref, v_all_ref, u_rows_ref, idx_ref,
     mom_ref[...] += jnp.concatenate([ysum, ysq, pad], axis=0)
 
 
+def auto_row_tile(n: int) -> int:
+    """Measured row-tile optimum for the selection kernels by candidate
+    width N (docs/kernels.md round 4 tile sweeps, v5e, bf16+fast):
+
+    - N=2048 (ShapeNet train): 256/2 98.2 ms/step vs 128/2 99.1 — 256 wins.
+    - N=3072 (ShapeNet eval, padded test views): 128/2 50.8 ms vs 256/2
+      58.3 — the [128, N] distance tile pipelines ~13% better once the
+      tile passes ~3k columns.
+    - N=4096 (S3DIS train): 128/2 122.6 ms/step vs 256/2 129.3.
+
+    tiles_per_step stays 2 everywhere (never lost a sweep). The impl's
+    VMEM-budget clamp still applies on top of this choice.
+    """
+    return 128 if n >= 2560 else 256
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "row_tile", "interpret", "fast", "with_minmax",
