@@ -151,6 +151,7 @@ def smooth_knn_laplacian(
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if fused_bf16 and on_tpu:
         from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import (
+            auto_row_tile,
             knn_weighted_gather,
             weighted_gather_pre,
         )
@@ -168,10 +169,11 @@ def smooth_knn_laplacian(
             idx = jax.lax.stop_gradient(graph[0])[:, :, :k]
             sqd = jax.lax.stop_gradient(graph[1])[:, :, :k]
             w = jnp.exp(-jnp.maximum(sqd, 0.0) / gamma)  # f32, grad-free
-            s = weighted_gather_pre(idx, w, f)
+            s = weighted_gather_pre(idx, w, f, auto_row_tile(f.shape[1]))
         else:
             _, s, w = knn_weighted_gather(
-                jax.lax.stop_gradient(x), f, k, gamma, 256, False, fast)
+                jax.lax.stop_gradient(x), f, k, gamma,
+                auto_row_tile(x.shape[1]), False, fast)
         s1 = s[..., :n_cls]
         s2 = s[..., n_cls]
         s0 = jnp.sum(w, axis=-1)  # [B, N] sum of weights (grad-free)
