@@ -488,3 +488,20 @@ def test_knn_edge_row_tile_invariance_interpret():
         got = _knn_edge_impl(g, v, u, k, 128, True, fast, with_minmax=True)
         for a, bb in zip(ref, got):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+
+def test_eval_pad_multiple_covers_selection_step():
+    """The eval pad-once fast path (train/steps.py::make_eval_logits_fn)
+    pads N to a multiple of eval_pad_multiple() so no fused kernel
+    re-pads internally. That holds iff the selection kernels' row step at
+    the padded width — row_tile * tiles_per_step = 2 * auto_row_tile(n) —
+    divides the pad multiple, in BOTH auto_row_tile regimes."""
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import (
+        auto_row_tile, eval_pad_multiple)
+
+    mult = eval_pad_multiple()
+    assert mult % 8 == 0  # sublane alignment
+    for n in (256, 2048, 2560, 3000, 3072, 4096, 131072):
+        n_aligned = -(-n // mult) * mult
+        step = 2 * auto_row_tile(n_aligned)
+        assert mult % step == 0, (n, n_aligned, step, mult)

@@ -323,3 +323,34 @@ def test_fused_bf16_multi_device_routes_shardmap(shapenet_dir, monkeypatch):
     assert t.mesh is not None
     m = t.train_epoch()
     assert np.isfinite(m["seg"])
+
+
+def test_make_eval_logits_fn_single_composition():
+    """make_eval_logits_fn is the ONE eval composition (round-4 unification):
+    make_eval_step and both trainers' test loops route through it. On CPU
+    the pad-once path is gated off (eval_pad_supported requires the fused
+    bf16/TPU kernels), so it must equal the plain forward exactly — and
+    accept both the cat-conditioned (ShapeNet) and plain (S3DIS)
+    call shapes the trainers use."""
+    from weaksuppointcloudseg_tpu.train.state import create_train_state
+    from weaksuppointcloudseg_tpu.train.steps import (
+        eval_pad_supported, make_eval_logits_fn, make_forward_fn)
+    from weaksuppointcloudseg_tpu.utils.tools import onehot_encode
+
+    rng = np.random.default_rng(3)
+    cfg = tiny_shapenet_cfg("Plain", batch_size=2)
+    assert not eval_pad_supported(cfg.model)  # CPU: pad path off
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    x = rng.standard_normal((2, 50, 3)).astype(np.float32)  # unaligned N
+    cat = onehot_encode(np.array([1, 2]), cfg.model.num_categories)
+    logits = make_eval_logits_fn(cfg)(state, x, cat)
+    want, _ = make_forward_fn(cfg)(
+        state.params, state.bn_state, x, cat, training=False,
+        bn_decay=None, rng=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(logits), np.asarray(want))
+
+    s_cfg = tiny_s3dis_cfg("Plain", batch_size=2)
+    s_state = create_train_state(jax.random.PRNGKey(1), s_cfg)
+    xs = rng.standard_normal((2, 50, 9)).astype(np.float32)
+    ls = jax.jit(make_eval_logits_fn(s_cfg))(s_state, xs)  # S3DIS call shape
+    assert np.asarray(ls).shape == (2, 50, s_cfg.model.num_classes)

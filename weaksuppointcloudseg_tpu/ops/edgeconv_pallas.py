@@ -507,6 +507,23 @@ def auto_row_tile(n: int) -> int:
     return 128 if n >= 2560 else 256
 
 
+def eval_pad_multiple() -> int:
+    """Alignment target for the eval pad-once fast path (train/steps.py).
+
+    The eval step pads N up front to a multiple of this so that NO fused
+    kernel re-pads internally (re-padding would bring back the XLA
+    pad/slice pairs the fast path exists to remove). It must therefore be
+    a common multiple of every kernel's internal row step at the padded
+    width: the selection kernels step by row_tile * tiles_per_step =
+    2 * auto_row_tile(n) — 512 in the <2560 regime, 256 above it — and
+    the conv/scatter kernels tile at <= 512 8-aligned rows (their VMEM
+    clamps do not bind at the supported channel widths). 512 covers all
+    of them; ``tests/test_edgeconv_pallas.py`` pins the selection-step
+    property.
+    """
+    return 512
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "row_tile", "interpret", "fast", "with_minmax",

@@ -40,6 +40,7 @@ from weaksuppointcloudseg_tpu.train.state import create_train_state
 from weaksuppointcloudseg_tpu.train.steps import (
     make_train_step,
     make_eval_step,
+    make_eval_logits_fn,
     make_forward_fn,
 )
 from weaksuppointcloudseg_tpu.utils.checkpoint import CheckpointManager
@@ -283,11 +284,12 @@ class ShapeNetTrainer(_TrainerBase):
         shape_cnt = np.zeros(self.num_categories)
         pershape = np.zeros(self.num_categories)
         accs = []
+        # make_eval_logits_fn: the eval composition incl. the pad-once
+        # fast path (views are 3000-pt — kernel-unaligned)
+        logits_fn = make_eval_logits_fn(self.cfg)
         eval_fwd = jax.jit(
-            lambda state, x, cat: jax.nn.softmax(self.forward(
-                state.params, state.bn_state, x, cat,
-                training=False, bn_decay=None, rng=jax.random.PRNGKey(0),
-            )[0], axis=-1)
+            lambda state, x, cat: jax.nn.softmax(
+                logits_fn(state, x, cat), axis=-1)
         )
 
         shapes: Dict[int, dict] = {}  # shape id -> in-flight buffers
@@ -470,12 +472,7 @@ class S3DISTrainer(_TrainerBase):
         lp = self.cfg.labelprop
         conf = ConfusionAccumulator(self.num_classes)
         bs = max(self.cfg.train.batch_size, 1)
-        eval_fwd = jax.jit(
-            lambda state, x: self.forward(
-                state.params, state.bn_state, x, None,
-                training=False, bn_decay=None, rng=jax.random.PRNGKey(0),
-            )[0]
-        )
+        eval_fwd = jax.jit(make_eval_logits_fn(self.cfg))
         for r in range(len(rooms)):
             blocks, labels, path, room_max = rooms.load_room(r, rng=self.np_rng)
             room_prob = []

@@ -230,6 +230,61 @@ def make_train_step(cfg: ExperimentConfig, style: Optional[str] = None,
     return partial(jax.jit, donate_argnums=(0,))(sharded)
 
 
+def eval_pad_supported(m) -> bool:
+    """True when the model config can run the eval pad-once fast path:
+    pad N up front ONCE and thread ``n_valid`` through every fused
+    kernel instead of letting XLA pad/slice around each call (~11 ms of
+    the 65 ms eval forward at bs=32/N=3000 — docs/kernels.md round 4).
+    Requires the fused bf16/TPU kernels (1- or 2-conv EdgeConv stages);
+    the standalone static-graph kNN producer does not thread n_valid."""
+    return (
+        m.use_fused_knn and jnp.dtype(m.compute_dtype) == jnp.bfloat16
+        and jax.default_backend() in ("tpu", "axon")
+        and all(len(w) in (1, 2) for w in m.edge_channels)
+        and not (m.static_graph and not m.use_transform_net
+                 and len(m.edge_channels[0]) != 2))
+
+
+def make_eval_logits_fn(cfg: ExperimentConfig) -> Callable:
+    """Inference logits closure with the pad-once fast path.
+
+    Returns ``(state, x, cat_onehot=None) -> logits [B, N, C]`` (NOT
+    jitted — callers jit or compose it). At a kernel-unaligned N (the
+    ShapeNet test views are 3000-pt) on the fused bf16/TPU path, the
+    points are padded ONCE to a multiple of
+    ``ops.edgeconv_pallas.eval_pad_multiple()`` and ``n_valid`` masks
+    padded rows inside every kernel; logits come back sliced to N. This
+    is the single eval composition — ``make_eval_step`` and both
+    trainers' test loops route through it.
+    """
+    from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import (
+        eval_pad_multiple,
+    )
+
+    forward = make_forward_fn(cfg)
+    pad_eval = eval_pad_supported(cfg.model)
+    mult = eval_pad_multiple()
+
+    def logits_fn(state: TrainState, x, cat_onehot=None):
+        n = x.shape[1]
+        n_aligned = -(-n // mult) * mult
+        if pad_eval and n_aligned != n:
+            x = jnp.pad(x, ((0, 0), (0, n_aligned - n), (0, 0)))
+            logits, _ = forward(
+                state.params, state.bn_state, x, cat_onehot,
+                training=False, bn_decay=None, rng=jax.random.PRNGKey(0),
+                n_valid=n,
+            )
+            return logits[:, :n]
+        logits, _ = forward(
+            state.params, state.bn_state, x, cat_onehot,
+            training=False, bn_decay=None, rng=jax.random.PRNGKey(0),
+        )
+        return logits
+
+    return logits_fn
+
+
 def make_eval_step(cfg: ExperimentConfig,
                    mesh: Optional[Mesh] = None) -> Callable:
     """Build the jitted eval forward: (state, batch) -> (prob, loss).
@@ -243,38 +298,11 @@ def make_eval_step(cfg: ExperimentConfig,
     CE reduces globally). Probabilities come back batch-sharded.
     """
 
-    forward = make_forward_fn(cfg)
+    logits_fn = make_eval_logits_fn(cfg)
     axis = mesh.axis_names[0] if mesh is not None else None
-    m = cfg.model
-    # fused bf16 eval at a kernel-unaligned N (the ShapeNet test views are
-    # 3000-pt): pad the points ONCE up front and run the whole forward at
-    # the aligned width with n_valid masking in the kernels — otherwise
-    # XLA pads/slices around every kernel call (~11 ms of the 65 ms eval
-    # forward at bs=32/N=3000 — docs/kernels.md round 4)
-    pad_eval = (
-        m.use_fused_knn and jnp.dtype(m.compute_dtype) == jnp.bfloat16
-        and jax.default_backend() in ("tpu", "axon")
-        and all(len(w) in (1, 2) for w in m.edge_channels)
-        and not (m.static_graph and not m.use_transform_net
-                 and len(m.edge_channels[0]) != 2))
 
     def _eval(state: TrainState, batch):
-        x = batch["data"]
-        n = x.shape[1]
-        n_aligned = -(-n // 512) * 512
-        if pad_eval and n_aligned != n:
-            x = jnp.pad(x, ((0, 0), (0, n_aligned - n), (0, 0)))
-            logits, _ = forward(
-                state.params, state.bn_state, x, batch.get("cat_onehot"),
-                training=False, bn_decay=None, rng=jax.random.PRNGKey(0),
-                n_valid=n,
-            )
-            logits = logits[:, :n]
-        else:
-            logits, _ = forward(
-                state.params, state.bn_state, x, batch.get("cat_onehot"),
-                training=False, bn_decay=None, rng=jax.random.PRNGKey(0),
-            )
+        logits = logits_fn(state, batch["data"], batch.get("cat_onehot"))
         loss = masked_softmax_ce(logits, batch["seg_onehot"], batch["mask"],
                                  axis_name=axis)
         return jax.nn.softmax(logits, axis=-1), loss
