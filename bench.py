@@ -404,10 +404,13 @@ def main() -> None:
         # iff ms/batch < device ms/step) ---
         try:
             ha = time_host_assemble("shapenet", unique_bs, n)
+            extra1 = {}
+            if step_s is not None:  # gate like the S3DIS variant (ADVICE r4)
+                extra1["pct_of_train_step"] = round(
+                    100 * ha["ms"] / (step_s * 1e3), 1)
             emit("host_assemble_shapenet", ha["ms"], "ms/batch",
                  ms_numpy_fallback=round(ha["ms_numpy"], 2),
-                 native_lib=ha["native_lib"],
-                 pct_of_train_step=round(100 * ha["ms"] / (step_s * 1e3), 1))
+                 native_lib=ha["native_lib"], **extra1)
             ha3 = time_host_assemble("s3dis", 14, 4096)
             extra3 = {}
             if s3_step is not None:

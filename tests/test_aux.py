@@ -169,3 +169,67 @@ class TestSiamesePairs:
         assert any(
             not np.array_equal(out[2 * i], out[2 * i + 1]) for i in range(3)
         )
+
+
+class TestCheckpointFormat:
+    """Format v2: key paths stored in the npz and verified on restore
+    (silent positional mispairing of same-shaped leaves is impossible)."""
+
+    def _tree(self):
+        return {
+            "params": {"conv1": {"w": np.ones((3, 4), np.float32),
+                                 "b": np.zeros((4,), np.float32)},
+                       "bn": {"scale": np.full((4,), 2.0, np.float32),
+                              "bias": np.full((4,), 3.0, np.float32)}},
+            "step": np.asarray(7),
+        }
+
+    def test_roundtrip_v2(self, tmp_path):
+        from weaksuppointcloudseg_tpu.utils.checkpoint import (
+            save_checkpoint, restore_checkpoint)
+
+        tree = self._tree()
+        p = str(tmp_path / "ck")
+        save_checkpoint(p, tree)
+        data = np.load(p + ".npz")
+        assert "__keypaths__" in data.files and "__format__" in data.files
+        out = restore_checkpoint(p, jax.tree_util.tree_map(np.zeros_like, tree))
+        jax.tree_util.tree_map(np.testing.assert_array_equal, out, tree)
+
+    def test_restore_into_renamed_leaf_fails_loudly(self, tmp_path):
+        """scale/bias are both [4]-shaped: a v1 positional restore into a
+        renamed structure would silently swap them; v2 must raise."""
+        from weaksuppointcloudseg_tpu.utils.checkpoint import (
+            save_checkpoint, restore_checkpoint)
+
+        tree = self._tree()
+        p = str(tmp_path / "ck")
+        save_checkpoint(p, tree)
+        bad = self._tree()
+        bad["params"]["bn"] = {"gamma": bad["params"]["bn"].pop("scale"),
+                               "beta": bad["params"]["bn"].pop("bias")}
+        with pytest.raises(ValueError, match="structure mismatch"):
+            restore_checkpoint(p, bad)
+
+    def test_restore_into_different_leaf_count_fails_loudly(self, tmp_path):
+        from weaksuppointcloudseg_tpu.utils.checkpoint import (
+            save_checkpoint, restore_checkpoint)
+
+        tree = self._tree()
+        p = str(tmp_path / "ck")
+        save_checkpoint(p, tree)
+        bad = self._tree()
+        del bad["params"]["bn"]["bias"]
+        with pytest.raises(ValueError, match="structure mismatch"):
+            restore_checkpoint(p, bad)
+
+    def test_legacy_v1_positional_restore_still_works(self, tmp_path):
+        from weaksuppointcloudseg_tpu.utils.checkpoint import (
+            restore_checkpoint)
+
+        tree = self._tree()
+        flat, _ = jax.tree_util.tree_flatten(tree)
+        p = str(tmp_path / "legacy.npz")
+        np.savez(p, **{f"arr_{i}": np.asarray(x) for i, x in enumerate(flat)})
+        out = restore_checkpoint(p, jax.tree_util.tree_map(np.zeros_like, tree))
+        jax.tree_util.tree_map(np.testing.assert_array_equal, out, tree)

@@ -34,7 +34,10 @@ def main(argv=None) -> None:
                    help="one matrix-free label propagation over ALL block "
                         "points of each room in global coordinates (label "
                         "consistency across block boundaries) instead of "
-                        "the reference's independent per-block refinement")
+                        "the reference's independent per-block refinement. "
+                        "Requires -sty Full (label propagation only runs "
+                        "for the Full style); ignored with a warning "
+                        "otherwise")
     args = p.parse_args(argv)
     args.Epoch = 1
     cfg = common.build_config(args, "S3DIS")

@@ -51,6 +51,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+from weaksuppointcloudseg_tpu.ops.edgeconv_pallas import aligned_tile_rows
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -176,7 +179,7 @@ def conv_minmax_pallas(h1, w2, b2, scale1=None, shift1=None, *,
     # [TM, k*C1] input + per-slot [TM, C2] f32 tiles; cap the tile ~6 MB
     budget = 6 << 20
     per_row = k * c1p * h1.dtype.itemsize + c2p * 4
-    tm = max(8, min(tm, _round_up(budget // max(per_row, 1), 8)))
+    tm = aligned_tile_rows(tm, budget // max(per_row, 1))
     n_pad = _round_up(n, tm)
     if n_pad != n:
         h1 = jnp.pad(h1, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
@@ -299,7 +302,7 @@ def conv_zmax_pallas(h1, w2, b2, s2, t2, scale1=None, shift1=None, *,
     tm = min(row_tile, _round_up(n, 8))
     budget = 6 << 20
     per_row = k * c1p * h1.dtype.itemsize + c2p * 4
-    tm = max(8, min(tm, _round_up(budget // max(per_row, 1), 8)))
+    tm = aligned_tile_rows(tm, budget // max(per_row, 1))
     n_pad = _round_up(n, tm)
     if n_pad != n:
         h1 = jnp.pad(h1, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
@@ -395,7 +398,7 @@ def conv_znmax_pallas(h, w, b, s2, t2, *, row_tile: int = 512,
     tm = min(row_tile, _round_up(n, 8))
     budget = 6 << 20
     per_row = c1p * h.dtype.itemsize + c2p * 4
-    tm = max(8, min(tm, _round_up(budget // max(per_row, 1), 8)))
+    tm = aligned_tile_rows(tm, budget // max(per_row, 1))
     n_pad = _round_up(n, tm)
     if n_pad != n:
         h = jnp.pad(h, ((0, 0), (0, n_pad - n), (0, 0)))
@@ -574,7 +577,7 @@ def conv_kmax_bwd_pallas(h1, q, asel, w2t, m, row0, scale1=None,
     tm = min(row_tile, _round_up(n, 8))
     budget = 6 << 20
     per_row = 2 * k * c1p * h1.dtype.itemsize + 2 * c2p * 4
-    tm = max(8, min(tm, _round_up(budget // max(per_row, 1), 8)))
+    tm = aligned_tile_rows(tm, budget // max(per_row, 1))
     n_pad = _round_up(n, tm)
     if n_pad != n:
         h1 = jnp.pad(h1, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
@@ -724,7 +727,7 @@ def conv_nmax_pallas(h, w, b, *, row_tile: int = 512,
     tm = min(row_tile, _round_up(n, 8))
     budget = 6 << 20
     per_row = c1p * h.dtype.itemsize + c2p * 4
-    tm = max(8, min(tm, _round_up(budget // max(per_row, 1), 8)))
+    tm = aligned_tile_rows(tm, budget // max(per_row, 1))
     n_pad = _round_up(n, tm)
     if n_pad != n:
         h = jnp.pad(h, ((0, 0), (0, n_pad - n), (0, 0)))
@@ -834,7 +837,7 @@ def conv_nmax_bwd_pallas(h, q, asel, w, b, alpha, beta, *,
     tm = min(row_tile, _round_up(n, 8))
     budget = 6 << 20
     per_row = 2 * c1p * h.dtype.itemsize + c2p * 4
-    tm = max(8, min(tm, _round_up(budget // max(per_row, 1), 8)))
+    tm = aligned_tile_rows(tm, budget // max(per_row, 1))
     n_pad = _round_up(n, tm)
     if n_pad != n:
         h = jnp.pad(h, ((0, 0), (0, n_pad - n), (0, 0)))

@@ -469,6 +469,13 @@ class S3DISTrainer(_TrainerBase):
         """
         if use_label_prop is None:
             use_label_prop = self.style == "Full"
+        if room_lp and not use_label_prop:
+            import warnings
+
+            warnings.warn(
+                "room_lp=True has no effect when use_label_prop is False "
+                "(label propagation only runs for the Full style): falling "
+                "back to plain per-block argmax", stacklevel=2)
         lp = self.cfg.labelprop
         conf = ConfusionAccumulator(self.num_classes)
         bs = max(self.cfg.train.batch_size, 1)
