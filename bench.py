@@ -355,6 +355,7 @@ def main() -> None:
         # --- label propagation (inference refinement) ---
         for solver, lp_n, name in (
                 ("solve", 3000, "lp_dense_lu_3000"),
+                ("cg", 3000, "lp_cg_factored_3000"),
                 ("cg_matfree", 3000, "lp_cg_matfree_3000"),
                 ("cg_matfree", 32768, "lp_cg_matfree_32768")):
             try:
@@ -495,25 +496,36 @@ def main() -> None:
                  step_ms=round(fwd_s * 1e3, 2), chip_batch=inf_bs,
                  n_points=inf_n)
 
-            # dense-W CG: the fast LP mode at the 3000-pt test shape
-            # (cg_matfree exists for the 32k+ long-context regime). The
-            # untrained model's near-uniform softmax zeroes the entropy
-            # confidences (degenerate rhs), so sharpen the probabilities
-            # to a trained-like distribution before timing
-            prob_t = jax.nn.softmax(jnp.log(prob + 1e-9) * 5.0, axis=-1)
+            # factored-W CG: the default LP mode (configs.LabelPropConfig).
+            # CG's iteration count is entropy-dependent: the tol-1e-5 early
+            # exit fires at ~12 iterations for trained-confidence inputs
+            # but the UNTRAINED model's near-uniform softmax zeroes the
+            # entropy confidences (w~0 -> near-singular system -> full
+            # 50-iteration cap: 52.9 vs 21.1 ms measured, docs/kernels.md
+            # round 5). Real inference always runs LP on a trained
+            # checkpoint, so mix fixed sharp logits into the forward output
+            # (keeping the device-side data dependency ev -> LP intact) to
+            # time the representative regime.
+            sharp = jnp.asarray(rng_np.standard_normal(
+                (inf_bs, inf_n, cfg.model.num_classes)) * 5.0, jnp.float32)
+            @jax.jit
+            def trained_like(p, sharp=sharp):
+                return jax.nn.softmax(jnp.log(p + 1e-9) + sharp, axis=-1)
+            prob_t = trained_like(prob)
             lp = propagate_batch(vb["data"], prob_t, solver="cg")
             float(jnp.sum(lp))
             t0 = time.perf_counter()
             for _ in range(10):
                 prob, _ = ev(istate, vb)
-                prob_t = jax.nn.softmax(jnp.log(prob + 1e-9) * 5.0, axis=-1)
+                prob_t = trained_like(prob)
                 lp = propagate_batch(vb["data"], prob_t, solver="cg")
             float(jnp.sum(lp))
             e2e_s = (time.perf_counter() - t0) / 10
             emit("shapenet_test_e2e_throughput",
                  inf_bs * inf_n / e2e_s, "points/sec/chip",
                  step_ms=round(e2e_s * 1e3, 2), solver="cg",
-                 note="eval forward + label propagation")
+                 note="eval forward + label propagation (trained-entropy "
+                      "LP input; near-uniform worst case adds ~31 ms)")
         except Exception:
             traceback.print_exc(file=sys.stderr)
 

@@ -119,12 +119,20 @@ class LabelPropConfig:
     rgb_bandwidth: float = 1e1  # W_rgb = exp(-D * 1e1)
     ridge: float = 1e-5
     degree_eps: float = 1e-8
-    # "solve" (batched dense LU) | "cg" (CG on the dense Laplacian) |
-    # "cg_matfree" (CG, affinity rows recomputed in the matvec — no [B,N,N]
-    # ever built) | "sharded" (point-axis-sharded matrix-free CG over the
-    # device mesh, propagate/sharded.py)
-    solver: str = "solve"
+    # "cg" (DEFAULT: factored-W CG — dense affinity, Laplacian never
+    # materialized, tol early exit) | "solve" (batched dense LU, closest to
+    # the reference's explicit tf.linalg.inv) | "cg_matfree" (CG, affinity
+    # rows recomputed in the matvec — no [B,N,N] ever built; the 32k+/room
+    # mode) | "sharded" (point-axis-sharded matrix-free CG over the mesh,
+    # propagate/sharded.py).
+    # Data behind the default (docs/kernels.md round 5, v5e, B=32 N=3000):
+    # cg = 0.56 ms/sample vs solve = 9.9 ms/sample; CG hits rel-tol 1e-5 at
+    # ~12 iterations and its argmax agrees with the LU solution on 99.97%
+    # of points (identical synthetic-mIoU LP benefit); cg_iters=50 is a
+    # safety CAP above the ~12-iteration early exit, not a fixed count.
+    solver: str = "cg"
     cg_iters: int = 50
+    cg_tol: float = 1e-5
 
 
 @dataclasses.dataclass(frozen=True)

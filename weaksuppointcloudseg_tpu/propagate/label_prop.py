@@ -40,7 +40,7 @@ def entropy_confidence(g: jax.Array) -> jax.Array:
     return 1.0 - entropy / jnp.log2(jnp.asarray(float(k), g.dtype))
 
 
-@partial(jax.jit, static_argnames=("solver", "cg_iters"))
+@partial(jax.jit, static_argnames=("solver", "cg_iters", "cg_tol"))
 def label_propagation(
     lap: jax.Array,
     g: jax.Array,
@@ -50,6 +50,7 @@ def label_propagation(
     ridge: float = 1e-5,
     solver: str = "solve",
     cg_iters: int = 50,
+    cg_tol: float = 1e-5,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Closed-form label propagation.
 
@@ -76,7 +77,8 @@ def label_propagation(
                             preferred_element_type=jnp.float32)
             return alpha * lv + diag[..., None] * v
 
-        y, _ = jax.scipy.sparse.linalg.cg(matvec, rhs, maxiter=cg_iters)
+        y, _ = jax.scipy.sparse.linalg.cg(matvec, rhs, maxiter=cg_iters,
+                                          tol=cg_tol)
         y = beta * y
     else:
         eye = jnp.eye(n, dtype=lap.dtype)
@@ -88,6 +90,66 @@ def label_propagation(
     return y, y_prob, w
 
 
+@partial(jax.jit, static_argnames=(
+    "alpha", "beta", "xyz_bandwidth", "rgb_bandwidth", "ridge",
+    "degree_eps", "cg_iters", "cg_tol"))
+def label_propagation_factored(
+    xyz: jax.Array,   # [B, N, Cx]
+    g: jax.Array,     # [B, N, K]
+    rgb: jax.Array,   # [B, N, Cr]
+    *,
+    alpha: float = 1.0,
+    beta: float = 1.0,
+    xyz_bandwidth: float = 1e3,
+    rgb_bandwidth: float = 1e1,
+    ridge: float = 1e-5,
+    degree_eps: float = 1e-8,
+    cg_iters: int = 50,
+    cg_tol: float = 1e-5,
+) -> jax.Array:
+    """Dense-affinity CG without ever materializing the Laplacian.
+
+    Same math as laplacian_xyz_rgb(sym=True) + label_propagation(solver=
+    "cg") — the reference's closed-form system (ProbLabelPropagation.py:
+    21-23 with the Tool.py:435-467 symmetric Laplacian) — but the system
+    matrix is kept FACTORED: only the affinity W [B,N,N] is built (one
+    write), and the matvec applies
+
+        A v = [alpha (d+eps) s^2 + beta w_conf + ridge] v - alpha s (W (s v))
+
+    with s = d^-1/2. Building L = S(D-W)S costs two extra full [B,N,N]
+    passes (write L, then CG reads L instead of W) for zero information —
+    measured 30.7 -> 17.9 ms at the ShapeNet test shape (B=32, N=3000) on
+    v5e. XLA hoists the loop-invariant bf16 cast of W out of the CG loop,
+    so each iteration streams the 576 MB bf16 W at ~711 GB/s (87% of
+    nominal HBM peak): the matvec is at its bandwidth floor, and explicit
+    bf16/hi-lo storage buys nothing further (measured wash / 1.8x
+    regression, docs/kernels.md round 5).
+    """
+    from weaksuppointcloudseg_tpu.propagate.laplacian import (
+        product_kernel_weights,
+    )
+
+    w = product_kernel_weights(
+        xyz, rgb, xyz_bandwidth=xyz_bandwidth, rgb_bandwidth=rgb_bandwidth)
+    d = jnp.sum(w, axis=-1)  # degrees [B, N]
+    s = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
+    w_conf = entropy_confidence(g)
+    diag = alpha * (d + degree_eps) * s * s + beta * w_conf + ridge
+
+    def matvec(v):
+        wv = jnp.einsum("bnm,bmk->bnk", w, s[..., None] * v,
+                        preferred_element_type=jnp.float32)
+        return diag[..., None] * v - alpha * s[..., None] * wv
+
+    rhs = w_conf[..., None] * g
+    y, _ = jax.scipy.sparse.linalg.cg(matvec, rhs, maxiter=cg_iters,
+                                      tol=cg_tol)
+    y = beta * y
+    denom = jnp.sum(y, axis=-1, keepdims=True)
+    return y / jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
+
+
 def _largest_divisor_at_most(n: int, cap: int) -> int:
     for t in range(min(cap, n), 0, -1):
         if n % t == 0:
@@ -97,7 +159,7 @@ def _largest_divisor_at_most(n: int, cap: int) -> int:
 
 @partial(jax.jit, static_argnames=(
     "alpha", "beta", "xyz_bandwidth", "rgb_bandwidth", "ridge",
-    "degree_eps", "cg_iters", "row_tile"))
+    "degree_eps", "cg_iters", "cg_tol", "row_tile"))
 def label_propagation_matfree(
     xyz: jax.Array,   # [B, N, Cx]
     g: jax.Array,     # [B, N, K]
@@ -110,6 +172,7 @@ def label_propagation_matfree(
     ridge: float = 1e-5,
     degree_eps: float = 1e-8,
     cg_iters: int = 50,
+    cg_tol: float = 1e-5,
     row_tile: int = 512,
 ) -> jax.Array:
     """Genuinely matrix-free LP: CG where the affinity row block is
@@ -156,7 +219,8 @@ def label_propagation_matfree(
             s[..., None] * v)
 
     rhs = w_conf[..., None] * g
-    y, _ = jax.scipy.sparse.linalg.cg(matvec, rhs, maxiter=cg_iters)
+    y, _ = jax.scipy.sparse.linalg.cg(matvec, rhs, maxiter=cg_iters,
+                                      tol=cg_tol)
     y = beta * y
     denom = jnp.sum(y, axis=-1, keepdims=True)
     return y / jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
@@ -172,8 +236,9 @@ def propagate_batch(
     xyz_bandwidth: float = 1e3,
     rgb_bandwidth: float = 1e1,
     ridge: float = 1e-5,
-    solver: str = "solve",
+    solver: str = "cg",
     cg_iters: int = 50,
+    cg_tol: float = 1e-5,
 ) -> jax.Array:
     """Laplacian build + LP solve in one jitted call. Returns Y_prob [B,N,K].
 
@@ -181,17 +246,26 @@ def propagate_batch(
     ShapeNet_DGCNN_trainer.py:551); S3DIS passes the RGB channels
     (S3DIS_DGCNN_trainer.py:543).
 
-    Solvers: "solve" (batched dense LU), "cg" (CG on the dense Laplacian),
-    "cg_matfree" (no [B,N,N] ever built), "sharded" (point-axis-sharded
-    matrix-free CG over the device mesh, propagate/sharded.py).
+    Solvers: "cg" (the default: factored-W CG — dense affinity, Laplacian
+    never materialized, tol-based early exit; label_propagation_factored),
+    "solve" (batched dense LU — bitwise-closest to the reference's explicit
+    inverse), "cg_matfree" (no [B,N,N] ever built — the 32k+ long-context
+    mode), "sharded" (point-axis-sharded matrix-free CG over the device
+    mesh, propagate/sharded.py).
     """
     if rgb is None:
         rgb = xyz
+    if solver == "cg":
+        return label_propagation_factored(
+            xyz, g, rgb, alpha=alpha, beta=beta,
+            xyz_bandwidth=xyz_bandwidth, rgb_bandwidth=rgb_bandwidth,
+            ridge=ridge, cg_iters=cg_iters, cg_tol=cg_tol,
+        )
     if solver == "cg_matfree":
         return label_propagation_matfree(
             xyz, g, rgb, alpha=alpha, beta=beta,
             xyz_bandwidth=xyz_bandwidth, rgb_bandwidth=rgb_bandwidth,
-            ridge=ridge, cg_iters=cg_iters,
+            ridge=ridge, cg_iters=cg_iters, cg_tol=cg_tol,
         )
     if solver == "sharded":
         import jax as _jax
@@ -223,6 +297,6 @@ def propagate_batch(
     )
     _, y_prob, _ = label_propagation(
         lap, g, alpha=alpha, beta=beta, ridge=ridge,
-        solver=solver, cg_iters=cg_iters,
+        solver=solver, cg_iters=cg_iters, cg_tol=cg_tol,
     )
     return y_prob

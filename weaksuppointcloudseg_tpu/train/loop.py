@@ -347,7 +347,7 @@ class ShapeNetTrainer(_TrainerBase):
                         xyz_bandwidth=lp.xyz_bandwidth,
                         rgb_bandwidth=lp.rgb_bandwidth,
                         ridge=lp.ridge, solver=lp.solver,
-                        cg_iters=lp.cg_iters,
+                        cg_iters=lp.cg_iters, cg_tol=lp.cg_tol,
                     )
                 # dispatch is async: batch i's D2H fetch + host scatter-back
                 # happen while the device runs batch i+1's forward + LP
@@ -498,7 +498,8 @@ class S3DISTrainer(_TrainerBase):
                         alpha=lp.alpha, beta=lp.beta,
                         xyz_bandwidth=lp.xyz_bandwidth,
                         rgb_bandwidth=lp.rgb_bandwidth,
-                        ridge=lp.ridge, solver=lp.solver, cg_iters=lp.cg_iters,
+                        ridge=lp.ridge, solver=lp.solver,
+                        cg_iters=lp.cg_iters, cg_tol=lp.cg_tol,
                     ))
                 room_prob.append(prob)
             if room_prob:
@@ -557,7 +558,7 @@ class S3DISTrainer(_TrainerBase):
             rgb.reshape(1, -1, 3),
             alpha=lp.alpha, beta=lp.beta, xyz_bandwidth=lp.xyz_bandwidth,
             rgb_bandwidth=lp.rgb_bandwidth, ridge=lp.ridge,
-            solver=solver, cg_iters=lp.cg_iters,
+            solver=solver, cg_iters=lp.cg_iters, cg_tol=lp.cg_tol,
         )
         pred = np.asarray(y[0]).argmax(-1).reshape(k_pad, n)
         return pred[:k_blocks]
