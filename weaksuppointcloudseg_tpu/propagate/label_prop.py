@@ -176,36 +176,58 @@ def label_propagation_matfree(
     row_tile: int = 512,
 ) -> jax.Array:
     """Genuinely matrix-free LP: CG where the affinity row block is
-    recomputed inside every matvec (lax.map over row tiles), so no [B,N,N]
-    array ever exists — peak extra memory is one [B, T, N] tile. Same
-    semantics as the dense symmetric-normalized solve (Util/Tool.py:435-467
-    + ProbLabelPropagation.py:21-23): trades O(iters) recomputation of the
+    recomputed inside every matvec, so no [B,N,N] array ever exists — peak
+    extra memory is one [B, T, N] tile. Same semantics as the dense
+    symmetric-normalized solve (Util/Tool.py:435-467 +
+    ProbLabelPropagation.py:21-23): trades O(iters) recomputation of the
     Gram/exp for O(N^2) -> O(T*N) memory; the mode for clouds whose dense
     Laplacian would not fit HBM.
+
+    TPU shaping (round 5 — see docs/kernels.md "room-LP"):
+    - the xyz/rgb Grams FOLD into one 6-channel Gram on
+      bandwidth-pre-scaled features (exp(-(bx*dx + br*dr)) =
+      exp(-sqd([sqrt(bx) x, sqrt(br) rgb])));
+    - the Gram runs at Precision.HIGHEST: the default bf16-input matmul
+      puts ~1e-2-scale absolute error on d^2, which the exp(-1e3 d^2)
+      kernel amplifies to e^(+-10) garbage on meter-scale room coords;
+    - the tile is applied TRANSPOSED, accumulating out^T [B,K,N] over row
+      tiles via u_tile^T [K,T] @ W_rows [T,N] (W is symmetric). The
+      straightforward W_rows @ u orientation puts K=num_classes+1 (~14)
+      on the MXU lane axis — 89% padding waste at 128 lanes; transposed,
+      K sits on the sublane axis (pads 14->16) and the lane axis is N.
     """
     b, n, _ = xyz.shape
     t = _largest_divisor_at_most(n, row_tile)
     n_tiles = n // t
 
-    def w_rows(i, u):
-        """Rows [i*t, (i+1)*t) of W applied to u: [B, T, K]."""
-        rx = jax.lax.dynamic_slice_in_dim(xyz, i * t, t, axis=1)
-        rr = jax.lax.dynamic_slice_in_dim(rgb, i * t, t, axis=1)
+    feat = jnp.concatenate(
+        [xyz * jnp.sqrt(jnp.float32(xyz_bandwidth)),
+         rgb * jnp.sqrt(jnp.float32(rgb_bandwidth))], axis=-1)  # [B,N,6]
+    sq = jnp.sum(feat * feat, axis=-1)  # [B, N]
 
-        def sqd(a_, b_):
-            inner = jnp.einsum("btc,bnc->btn", a_, b_,
-                               preferred_element_type=jnp.float32)
-            return (jnp.sum(a_ * a_, -1)[..., :, None] - 2.0 * inner
-                    + jnp.sum(b_ * b_, -1)[..., None, :])
+    def w_rows(i):
+        """Affinity rows [i*t, (i+1)*t): [B, T, N]."""
+        rf = jax.lax.dynamic_slice_in_dim(feat, i * t, t, axis=1)
+        rsq = jax.lax.dynamic_slice_in_dim(sq, i * t, t, axis=1)
+        inner = jnp.einsum("btc,bnc->btn", rf, feat,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+        d = jnp.maximum(
+            rsq[..., :, None] - 2.0 * inner + sq[..., None, :], 0.0)
+        return jnp.exp(-d)
 
-        wt = jnp.exp(-(jnp.maximum(sqd(rx, xyz), 0.0) * xyz_bandwidth
-                       + jnp.maximum(sqd(rr, rgb), 0.0) * rgb_bandwidth))
-        return jnp.einsum("btn,bnk->btk", wt, u,
-                          preferred_element_type=jnp.float32)
+    def apply_w(u):  # [B, N, K] -> W @ u, tiled + transposed accumulation
+        k = u.shape[-1]
 
-    def apply_w(u):  # [B, N, K] -> W @ u, tiled
-        tiles = jax.lax.map(lambda i: w_rows(i, u), jnp.arange(n_tiles))
-        return jnp.moveaxis(tiles, 0, 1).reshape(b, n, u.shape[-1])
+        def body(i, acc):
+            wt = w_rows(i)
+            ut = jax.lax.dynamic_slice_in_dim(u, i * t, t, axis=1)
+            return acc + jnp.einsum("btk,btn->bkn", ut, wt,
+                                    preferred_element_type=jnp.float32)
+
+        out_t = jax.lax.fori_loop(
+            0, n_tiles, body, jnp.zeros((b, k, n), jnp.float32))
+        return jnp.swapaxes(out_t, 1, 2)
 
     d = apply_w(jnp.ones((b, n, 1), xyz.dtype))[..., 0]  # degrees [B, N]
     s = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
@@ -219,8 +241,11 @@ def label_propagation_matfree(
             s[..., None] * v)
 
     rhs = w_conf[..., None] * g
-    y, _ = jax.scipy.sparse.linalg.cg(matvec, rhs, maxiter=cg_iters,
-                                      tol=cg_tol)
+    # Jacobi preconditioner: diag(A) is exactly `diag` — free to apply and
+    # shaves iterations where the confidence weights vary point-to-point
+    y, _ = jax.scipy.sparse.linalg.cg(
+        matvec, rhs, maxiter=cg_iters, tol=cg_tol,
+        M=lambda v: v / diag[..., None])
     y = beta * y
     denom = jnp.sum(y, axis=-1, keepdims=True)
     return y / jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
