@@ -58,3 +58,42 @@ def test_format_signature_rules(reproduce_mod, tmp_path):
     produced.write_text("Epoch 3 TrainLoss 2.5 acc 41%\n")
     with pytest.raises(SystemExit, match="drifted"):
         reproduce_mod.check_summary_format(str(produced), str(golden))
+
+
+def test_validate_data_accepts_synthetic_and_rejects_corrupted(
+        reproduce_mod, tmp_path, capsys):
+    """--validate-data (VERDICT r4 #7): the synthetic trees — which the
+    loaders demonstrably consume — must validate clean; a corrupted tree
+    (missing h5 shard, wrong h5 fields, misaligned room list) must fail
+    with named problems so a real-data run elsewhere cannot die on
+    plumbing after hours of setup."""
+    import shutil
+
+    from weaksuppointcloudseg_tpu.data import s3dis, shapenet
+
+    sn = tmp_path / "ShapeNet"
+    s3 = tmp_path / "S3DIS"
+    shapenet.write_synthetic(str(sn), num_points=64, train_samples=4,
+                             val_samples=2, test_samples=2)
+    s3dis.write_synthetic(str(s3), num_rooms_per_area=2, blocks_per_room=2,
+                          num_points=64, areas=(1, 5))
+
+    assert reproduce_mod.validate_shapenet_data(str(sn)) == []
+    assert reproduce_mod.validate_s3dis_data(str(s3)) == []
+    # the CLI wrapper: both OK -> no SystemExit
+    reproduce_mod.main(["--validate-data", str(tmp_path)])
+
+    # corrupt ShapeNet: drop a listed h5 + break the test file list
+    os.remove(str(sn / "hdf5_data" / "ply_data_train0.h5"))
+    problems = reproduce_mod.validate_shapenet_data(str(sn))
+    assert any("ply_data_train0.h5" in p for p in problems)
+
+    # corrupt S3DIS: room_filelist misaligned with the h5 block count
+    with open(s3 / "room_filelist.txt", "a") as f:
+        f.write("Area_1_extra_room\n")
+    problems = reproduce_mod.validate_s3dis_data(str(s3))
+    assert any("room_filelist" in p for p in problems)
+
+    # the CLI wrapper exits nonzero on a broken tree
+    with pytest.raises(SystemExit):
+        reproduce_mod.main(["--validate-data", str(tmp_path)])

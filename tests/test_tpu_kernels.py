@@ -980,3 +980,73 @@ def test_eval_prepadded_n_valid_matches_unpadded_on_device():
         f"maxdiff={maxdiff} at logit scale {scale}")
     agree = float((base.argmax(-1) == padded.argmax(-1)).mean())
     assert agree >= 0.98, f"argmax agreement {agree} < 0.98"
+
+
+def test_lp_affinity_precision_on_device():
+    """The label-propagation affinity Gram must run at f32 accuracy on
+    device (round-5 precision bug): with JAX's DEFAULT TPU matmul
+    precision (bf16 inputs) the d^2 error is ~1e-2 absolute, which
+    exp(-1e3 d^2) amplifies to relative errors up to 3.2e2 on the
+    significant affinity entries — the device W was noise. Pins
+    pairwise_sqdist's Precision.HIGHEST (and the matfree/sharded sqd
+    variants) against an f64 numpy oracle, scalar fetches only."""
+    from weaksuppointcloudseg_tpu.propagate.laplacian import (
+        product_kernel_weights,
+    )
+
+    rng = np.random.default_rng(0)
+    for scale in (1.0, 8.0):  # unit-sphere (ShapeNet) and room meters
+        xyz = (rng.uniform(0, 1, (1, 512, 3)) * scale).astype(np.float32)
+        rgb = rng.uniform(0, 1, (1, 512, 3)).astype(np.float32)
+
+        def sqd64(a):
+            a64 = a.astype(np.float64)
+            s = (a64 ** 2).sum(-1)
+            return np.maximum(
+                s[:, :, None] - 2 * np.einsum("bnc,bmc->bnm", a64, a64)
+                + s[:, None, :], 0)
+
+        w_ref = np.exp(-(sqd64(xyz) * 1e3 + sqd64(rgb) * 1e1)).astype(
+            np.float32)
+        w_dev = product_kernel_weights(jax.device_put(xyz),
+                                       jax.device_put(rgb))
+
+        @jax.jit
+        def relerr_sig(w_dev, w_ref):
+            err = jnp.abs(w_dev - w_ref)
+            big = w_ref > 1e-3
+            return jnp.max(jnp.where(big, err / jnp.maximum(w_ref, 1e-9),
+                                     0.0))
+
+        rel = float(relerr_sig(w_dev, jax.device_put(w_ref)))
+        assert rel < 1e-2, (
+            f"significant-affinity rel error {rel:.2e} at coord scale "
+            f"{scale} — the Gram is not running at f32 accuracy")
+
+
+def test_matfree_matches_dense_affinity_on_device():
+    """The matfree tile path (folded 6-channel Gram, transposed apply)
+    must produce the same propagation as the dense factored path ON THE
+    CHIP at a realistic coordinate scale."""
+    from weaksuppointcloudseg_tpu.propagate.label_prop import (
+        propagate_batch,
+    )
+
+    rng = np.random.default_rng(1)
+    xyz = (rng.uniform(0, 4, (1, 1024, 3))).astype(np.float32)
+    rgb = rng.uniform(0, 1, (1, 1024, 3)).astype(np.float32)
+    logits = rng.standard_normal((1, 1024, 13)).astype(np.float32) * 4.0
+    g = np.asarray(jax.nn.softmax(jnp.asarray(logits), -1))
+    dense = propagate_batch(jax.device_put(xyz), jax.device_put(g),
+                            jax.device_put(rgb), solver="cg")
+    mf = propagate_batch(jax.device_put(xyz), jax.device_put(g),
+                         jax.device_put(rgb), solver="cg_matfree")
+
+    @jax.jit
+    def stats(a, b):
+        return jnp.max(jnp.abs(a - b)), jnp.mean(
+            (jnp.argmax(a, -1) == jnp.argmax(b, -1)).astype(jnp.float32))
+
+    maxdiff, agree = stats(dense, mf)
+    assert float(agree) > 0.999, float(agree)
+    assert float(maxdiff) < 5e-2, float(maxdiff)

@@ -32,7 +32,15 @@ def pairwise_sqdist(x: jax.Array) -> jax.Array:
       tf_util.pairwise_distance semantics (no clamping to >= 0).
     """
     # Gram matrix on the MXU; accumulate in fp32 regardless of input dtype.
-    inner = jnp.einsum("bnc,bmc->bnm", x, x, preferred_element_type=jnp.float32)
+    # Precision.HIGHEST is REQUIRED, not defensive: JAX's default TPU
+    # matmul precision feeds bf16 inputs, putting ~1e-2-scale absolute
+    # error on d^2 — measured relative error up to 3.2e2 on the
+    # significant entries of exp(-1e3 d^2) label-propagation affinities
+    # (docs/kernels.md round 5 "precision bug"). The fused Pallas kNN path
+    # computes its distances in f32 in-kernel and never calls this.
+    inner = jnp.einsum("bnc,bmc->bnm", x, x,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1)  # [B, N]
     return sq[:, :, None] - 2.0 * inner + sq[:, None, :]
 

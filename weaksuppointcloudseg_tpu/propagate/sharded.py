@@ -37,8 +37,11 @@ def _affinity_rows(x_rows, x_all, rgb_rows, rgb_all, *, xyz_bandwidth,
     """W row block [B, n_local, N] (product kernel, Util/Tool.py:443-459)."""
 
     def sqd(a, b):
+        # HIGHEST: default bf16-input matmuls corrupt exp(-1e3 d^2)
+        # affinities (see ops/neighbors.py::pairwise_sqdist)
         inner = jnp.einsum("blc,bnc->bln", a, b,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
         return (jnp.sum(a * a, -1)[..., :, None] - 2.0 * inner
                 + jnp.sum(b * b, -1)[..., None, :])
 
