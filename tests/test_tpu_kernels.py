@@ -995,7 +995,11 @@ def test_lp_affinity_precision_on_device():
     )
 
     rng = np.random.default_rng(0)
-    for scale in (1.0, 8.0):  # unit-sphere (ShapeNet) and room meters
+    # per-scale bounds: f32 itself rounds the exp argument by
+    # ~eps_f32 * bandwidth * |x|^2 (measured 4.8e-4 at unit scale,
+    # 3.0e-2 at 8 m — the reference's f32 GPU build has the same); the
+    # BUG being pinned was 1.5e2/3.2e2.
+    for scale, bound in ((1.0, 5e-3), (8.0, 1e-1)):
         xyz = (rng.uniform(0, 1, (1, 512, 3)) * scale).astype(np.float32)
         rgb = rng.uniform(0, 1, (1, 512, 3)).astype(np.float32)
 
@@ -1019,7 +1023,7 @@ def test_lp_affinity_precision_on_device():
                                      0.0))
 
         rel = float(relerr_sig(w_dev, jax.device_put(w_ref)))
-        assert rel < 1e-2, (
+        assert rel < bound, (
             f"significant-affinity rel error {rel:.2e} at coord scale "
             f"{scale} — the Gram is not running at f32 accuracy")
 

@@ -196,13 +196,19 @@ def label_propagation_matfree(
       on the MXU lane axis — 89% padding waste at 128 lanes; transposed,
       K sits on the sublane axis (pads 14->16) and the lane axis is N.
     """
+    from weaksuppointcloudseg_tpu.ops import affinity_pallas
+
     b, n, _ = xyz.shape
     t = _largest_divisor_at_most(n, row_tile)
     n_tiles = n // t
 
+    # distances are translation-invariant; centering shrinks |x|^2 and
+    # with it the f32 cancellation error of the Gram trick (room-scale
+    # coords x bandwidth 1e3 sit right at f32's edge)
     feat = jnp.concatenate(
         [xyz * jnp.sqrt(jnp.float32(xyz_bandwidth)),
          rgb * jnp.sqrt(jnp.float32(rgb_bandwidth))], axis=-1)  # [B,N,6]
+    feat = feat - jnp.mean(feat, axis=1, keepdims=True)
     sq = jnp.sum(feat * feat, axis=-1)  # [B, N]
 
     def w_rows(i):
@@ -216,7 +222,14 @@ def label_propagation_matfree(
             rsq[..., :, None] - 2.0 * inner + sq[..., None, :], 0.0)
         return jnp.exp(-d)
 
-    def apply_w(u):  # [B, N, K] -> W @ u, tiled + transposed accumulation
+    use_fused = affinity_pallas.supported()
+
+    def apply_w(u):  # [B, N, K] -> W @ u
+        if use_fused:
+            # Gram + exp + contract in ONE VMEM pass (ops/affinity_pallas)
+            # — the XLA tile path below materializes the [B, T, N] tile
+            # (dot operands don't fuse) twice per row tile
+            return affinity_matvec(feat, u)
         k = u.shape[-1]
 
         def body(i, acc):
@@ -228,6 +241,11 @@ def label_propagation_matfree(
         out_t = jax.lax.fori_loop(
             0, n_tiles, body, jnp.zeros((b, k, n), jnp.float32))
         return jnp.swapaxes(out_t, 1, 2)
+
+    if use_fused:
+        # the kernel pads N internally (far-away points, affinity 0)
+        affinity_matvec = partial(affinity_pallas.affinity_matvec_pallas,
+                                  row_tile=1024, col_tile=1024)
 
     d = apply_w(jnp.ones((b, n, 1), xyz.dtype))[..., 0]  # degrees [B, N]
     s = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
