@@ -65,3 +65,54 @@ def test_matfree_lp_uses_kernel_semantics(rng):
     dense = np.asarray(propagate_batch(xyz, g.astype(np.float32), rgb,
                                        solver="solve"))
     np.testing.assert_allclose(mf, dense, rtol=1e-2, atol=1e-3)
+
+
+def test_skip_cutoff_is_exact_on_clustered_scene(rng):
+    """Tile skipping drops only blocks where EVERY affinity is
+    <= exp(-cutoff): on a morton-sorted clustered scene the skip-on and
+    skip-off results must agree to fp noise."""
+    import jax.numpy as jnp
+
+    from weaksuppointcloudseg_tpu.ops.affinity_pallas import morton_order
+
+    # 4 far-apart clusters of exactly one 128-tile each -> after the
+    # morton sort the mask should approach the identity
+    centers = rng.uniform(0, 40, (4, 3))
+    pts = (np.repeat(centers, 128, 0)
+           + rng.standard_normal((512, 3)) * 0.3).astype(np.float32)[None]
+    order = np.asarray(morton_order(jnp.asarray(pts)))[0]
+    pts = pts[:, order]
+    feat = np.concatenate([pts, rng.uniform(0, 1, pts.shape)],
+                          -1).astype(np.float32)
+    u = rng.standard_normal((1, 512, 9)).astype(np.float32)
+    full = np.asarray(affinity_matvec_pallas(
+        feat, u, row_tile=128, col_tile=128, skip_cutoff=None,
+        interpret=True))
+    skip = np.asarray(affinity_matvec_pallas(
+        feat, u, row_tile=128, col_tile=128, skip_cutoff=30.0,
+        interpret=True))
+    rel = np.abs(full - skip).max() / max(1.0, np.abs(full).max())
+    assert rel < 1e-6, rel
+    # and the mask actually skips something on this scene (pad to the
+    # tile multiple the way affinity_matvec_pallas does internally)
+    from weaksuppointcloudseg_tpu.ops.affinity_pallas import _skip_mask
+    m = np.asarray(_skip_mask(jnp.asarray(feat), 128, 128, 30.0))
+    assert m.mean() < 0.5, f"too few blocks skipped ({m.mean()=})"
+
+
+def test_morton_order_is_permutation_and_local(rng):
+    import jax.numpy as jnp
+
+    from weaksuppointcloudseg_tpu.ops.affinity_pallas import morton_order
+
+    pts = rng.uniform(0, 8, (2, 512, 3)).astype(np.float32)
+    order = np.asarray(morton_order(jnp.asarray(pts)))
+    for b in range(2):
+        assert sorted(order[b].tolist()) == list(range(512))
+        # locality: mean distance between sort-adjacent points far below
+        # the mean distance of random pairs
+        srt = pts[b][order[b]]
+        adj = np.linalg.norm(np.diff(srt, axis=0), axis=1).mean()
+        rnd = np.linalg.norm(
+            pts[b][rng.permutation(512)] - pts[b], axis=1).mean()
+        assert adj < rnd * 0.4, (adj, rnd)

@@ -27,10 +27,22 @@ Layout notes (why the shapes look inside-out):
   the column-tile grid axis (accumulate; zero at j == 0) — the standard
   Mosaic reduction pattern (cf. ops/scatter_pallas.py).
 
+Tile skipping (``skip_cutoff``): a per-(row-tile, col-tile) mask is
+precomputed from tile bounding boxes in the F-dim feature space — when
+the boxes' minimum squared distance exceeds the cutoff, every affinity in
+the block is <= exp(-cutoff) (9e-14 at the default 30.0) and the whole
+Gram+exp+apply is skipped via a scalar ``pl.when``. The bound is exact,
+so correctness never depends on point ORDER — but skip efficiency does:
+callers morton-sort the points first (label_propagation_matfree does) so
+spatially-near points share tiles and most tile pairs are far apart,
+making the apply near-linear in N for surface-sampled scans.
+
 Padding contract: the caller pads N with points at huge coordinates
 (sq ~ 1e12 -> exp underflows to exactly 0) and u with zeros, so padded
 rows/cols neither receive nor donate mass — same trick as
-S3DISTrainer.room_label_prop's 1 km pad blocks.
+S3DISTrainer.room_label_prop's 1 km pad blocks. Tiles containing pad
+points get huge bounding boxes; their blocks against REAL tiles have
+d_lb > cutoff and skip, while all-pad tile pairs compute harmless zeros.
 """
 
 from __future__ import annotations
@@ -47,9 +59,10 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(rows_ref, cols_ref, u_ref, out_ref):
+def _kernel(mask_ref, rows_ref, cols_ref, u_ref, out_ref):
     """One (row-tile i, col-tile j) block of out^T += u_j^T @ exp(-d^2)^T.
 
+    mask_ref: [1, 1, 1] int32 in SMEM — 0 skips the block (bbox cutoff)
     rows_ref: [1, F, TR] row feats (transposed, indexed by i)
     cols_ref: [1, F, TC] col feats (same array, indexed by j)
     u_ref:    [1, TC, K] col u block (indexed by j)
@@ -61,47 +74,75 @@ def _kernel(rows_ref, cols_ref, u_ref, out_ref):
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    rows = rows_ref[0]  # [F, TR] f32
-    cols = cols_ref[0]  # [F, TC] f32
-    u = u_ref[0]        # [TC, K] f32
-    # Gram^T [TC, TR] on the MXU, f32 (precision-critical: bf16 operands
-    # put ~1e-2 on d^2 and the exp amplifies it e^(+-10) — the round-5
-    # affinity precision bug)
-    inner_t = jax.lax.dot_general(
-        cols, rows, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [TC, TR]
-    rsq = jnp.sum(rows * rows, axis=0)[None, :]   # [1, TR]
-    csq = jnp.sum(cols * cols, axis=0)[:, None]   # [TC, 1]
-    d = jnp.maximum(csq - 2.0 * inner_t + rsq, 0.0)
-    w_t = jnp.exp(-d)  # [TC, TR]
-    # apply: u^T @ W^T with K on the sublane axis. Also HIGHEST: a DEFAULT
-    # (bf16-input) apply puts ~2e-3 relative noise on every matvec, which
-    # stalls CG around that level; the dot is K<=16-sublane cheap either way.
-    contrib = jax.lax.dot_general(
-        u, w_t, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [K, TR]
-    out_ref[0] += contrib
+    @pl.when(mask_ref[0, 0, 0] > 0)
+    def _():
+        rows = rows_ref[0]  # [F, TR] f32
+        cols = cols_ref[0]  # [F, TC] f32
+        u = u_ref[0]        # [TC, K] f32
+        # Gram^T [TC, TR] on the MXU, f32 HIGHEST (precision-critical:
+        # bf16 operands put ~1e-2 on d^2 and the exp amplifies it e^(+-10)
+        # — the round-5 affinity precision bug; Mosaic honors HIGHEST,
+        # measured d^2 err 3.8e-6 vs 7.8e-2 at DEFAULT)
+        inner_t = jax.lax.dot_general(
+            cols, rows, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [TC, TR]
+        rsq = jnp.sum(rows * rows, axis=0)[None, :]   # [1, TR]
+        csq = jnp.sum(cols * cols, axis=0)[:, None]   # [TC, 1]
+        d = jnp.maximum(csq - 2.0 * inner_t + rsq, 0.0)
+        w_t = jnp.exp(-d)  # [TC, TR]
+        # apply: u^T @ W^T with K on the sublane axis. Also HIGHEST: a
+        # DEFAULT (bf16-input) apply puts ~2e-3 relative noise on every
+        # matvec, which stalls CG around that level; the dot is K<=16-
+        # sublane cheap either way.
+        contrib = jax.lax.dot_general(
+            u, w_t, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [K, TR]
+        out_ref[0] += contrib
+
+
+def _tile_bbox(feat: jax.Array, tile: int) -> tuple:
+    """Per-tile (min, max) over the point axis: [B, n_tiles, F] each."""
+    b, n, f = feat.shape
+    r = feat.reshape(b, n // tile, tile, f)
+    return jnp.min(r, axis=2), jnp.max(r, axis=2)
+
+
+def _skip_mask(feat: jax.Array, tr: int, tc: int, cutoff: float) -> jax.Array:
+    """int32 [B, n_row_tiles, n_col_tiles]: 1 where the blocks' bbox
+    distance lower bound <= cutoff (must be computed), else 0."""
+    rmin, rmax = _tile_bbox(feat, tr)
+    cmin, cmax = _tile_bbox(feat, tc)
+    gap = jnp.maximum(
+        rmin[:, :, None] - cmax[:, None, :],
+        cmin[:, None, :] - rmax[:, :, None])  # [B, ni, nj, F]
+    d_lb = jnp.sum(jnp.square(jnp.maximum(gap, 0.0)), axis=-1)
+    return (d_lb <= cutoff).astype(jnp.int32)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("row_tile", "col_tile", "interpret"))
+    static_argnames=("row_tile", "col_tile", "skip_cutoff", "interpret"))
 def affinity_matvec_pallas(
     feat: jax.Array,   # [B, N, F] bandwidth-pre-scaled features, f32
     u: jax.Array,      # [B, N, K] f32
     *,
     row_tile: int = 512,
     col_tile: int = 1024,
+    skip_cutoff: float = 30.0,
     interpret: bool = False,
 ) -> jax.Array:
     """out [B, N, K] = exp(-clamped pdist2(feat)) @ u, nothing O(N^2) in HBM.
 
     N is padded internally to a tile multiple with far-away points
     (affinity exactly 0 after exp underflow) and the result sliced back.
+    ``skip_cutoff``: tile blocks whose bounding boxes are farther than
+    this squared feature distance are skipped entirely (every skipped
+    affinity <= exp(-cutoff) = 9e-14 at the default); pass ``None`` to
+    compute all blocks.
     """
     b, n, f = feat.shape
     k = u.shape[-1]
@@ -112,13 +153,20 @@ def affinity_matvec_pallas(
         feat = jnp.pad(feat, ((0, 0), (0, n_pad - n), (0, 0)),
                        constant_values=1e6)
         u = jnp.pad(u, ((0, 0), (0, n_pad - n), (0, 0)))
-    feat_t = jnp.swapaxes(feat, 1, 2).astype(jnp.float32)  # [B, F, N]
+    feat = feat.astype(jnp.float32)
+    if skip_cutoff is None:
+        mask = jnp.ones((b, n_pad // tr, n_pad // tc), jnp.int32)
+    else:
+        mask = _skip_mask(feat, tr, tc, float(skip_cutoff))
+    feat_t = jnp.swapaxes(feat, 1, 2)  # [B, F, N]
     u = u.astype(jnp.float32)
 
     out_t = pl.pallas_call(
         _kernel,
         grid=(b, n_pad // tr, n_pad // tc),
         in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda bi, i, j: (bi, i, j),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, f, tr), lambda bi, i, j: (bi, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, f, tc), lambda bi, i, j: (bi, 0, j),
@@ -130,8 +178,33 @@ def affinity_matvec_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, k, n_pad), jnp.float32),
         interpret=interpret,
-    )(feat_t, feat_t, u)
+    )(mask, feat_t, feat_t, u)
     return jnp.swapaxes(out_t, 1, 2)[:, :n]
+
+
+def morton_order(xyz: jax.Array, bits: int = 10) -> jax.Array:
+    """Z-order (morton) sort permutation of [B, N, 3] points: [B, N] int32.
+
+    Quantizes each axis to ``bits`` over its per-batch range and
+    interleaves the bits. Used to give the skip mask spatial locality —
+    the ORDER never affects correctness (the bbox bound is exact), only
+    how many tile blocks survive the cutoff.
+    """
+    lo = jnp.min(xyz, axis=1, keepdims=True)
+    hi = jnp.max(xyz, axis=1, keepdims=True)
+    q = ((xyz - lo) / jnp.maximum(hi - lo, 1e-12)
+         * (2 ** bits - 1)).astype(jnp.int32)
+
+    def spread(v):  # interleave zeros between bits (10 -> 30)
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    key = (spread(q[..., 0]) | (spread(q[..., 1]) << 1)
+           | (spread(q[..., 2]) << 2))
+    return jnp.argsort(key, axis=1).astype(jnp.int32)
 
 
 def supported(backend: str | None = None) -> bool:

@@ -202,6 +202,19 @@ def label_propagation_matfree(
     t = _largest_divisor_at_most(n, row_tile)
     n_tiles = n // t
 
+    use_fused = affinity_pallas.supported()
+    order = inv_order = None
+    if use_fused:
+        # morton-sort so spatially-near points share kernel tiles: the
+        # fused kernel skips (row-tile, col-tile) blocks whose bounding
+        # boxes are farther than its cutoff — exact bound, so the sort
+        # affects only skip EFFICIENCY, never the result. The whole CG
+        # runs in sorted space; y is unsorted at the end.
+        order = affinity_pallas.morton_order(xyz)  # [B, N]
+        inv_order = jnp.argsort(order, axis=1)
+        take = lambda a: jnp.take_along_axis(a, order[..., None], axis=1)
+        xyz, rgb, g = take(xyz), take(rgb), take(g)
+
     # distances are translation-invariant; centering shrinks |x|^2 and
     # with it the f32 cancellation error of the Gram trick (room-scale
     # coords x bandwidth 1e3 sit right at f32's edge)
@@ -221,8 +234,6 @@ def label_propagation_matfree(
         d = jnp.maximum(
             rsq[..., :, None] - 2.0 * inner + sq[..., None, :], 0.0)
         return jnp.exp(-d)
-
-    use_fused = affinity_pallas.supported()
 
     def apply_w(u):  # [B, N, K] -> W @ u
         if use_fused:
@@ -266,7 +277,10 @@ def label_propagation_matfree(
         M=lambda v: v / diag[..., None])
     y = beta * y
     denom = jnp.sum(y, axis=-1, keepdims=True)
-    return y / jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
+    y = y / jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
+    if inv_order is not None:  # undo the morton sort
+        y = jnp.take_along_axis(y, inv_order[..., None], axis=1)
+    return y
 
 
 def propagate_batch(
