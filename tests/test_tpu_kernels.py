@@ -1048,9 +1048,16 @@ def test_matfree_matches_dense_affinity_on_device():
 
     @jax.jit
     def stats(a, b):
-        return jnp.max(jnp.abs(a - b)), jnp.mean(
-            (jnp.argmax(a, -1) == jnp.argmax(b, -1)).astype(jnp.float32))
+        # the two paths build W with different (equally valid) f32
+        # roundings — matfree centers the features before the Gram — so
+        # y differs by ~1e-3 pointwise; argmax must agree wherever the
+        # dense top-2 margin exceeds that noise floor (measured: the only
+        # flips are ties with margin ~6.5e-4; see docs/kernels.md round 5)
+        srt = jnp.sort(a, axis=-1)
+        decided = (srt[..., -1] - srt[..., -2]) > 5e-3
+        flips = (jnp.argmax(a, -1) != jnp.argmax(b, -1)) & decided
+        return jnp.max(jnp.abs(a - b)), jnp.sum(flips)
 
-    maxdiff, agree = stats(dense, mf)
-    assert float(agree) > 0.999, float(agree)
-    assert float(maxdiff) < 5e-2, float(maxdiff)
+    maxdiff, flips = stats(dense, mf)
+    assert int(flips) == 0, int(flips)
+    assert float(maxdiff) < 5e-3, float(maxdiff)

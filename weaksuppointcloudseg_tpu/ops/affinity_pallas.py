@@ -62,19 +62,23 @@ def _round_up(x: int, m: int) -> int:
 def _kernel(mask_ref, rows_ref, cols_ref, u_ref, out_ref):
     """One (row-tile i, col-tile j) block of out^T += u_j^T @ exp(-d^2)^T.
 
-    mask_ref: [1, 1, 1] int32 in SMEM — 0 skips the block (bbox cutoff)
+    mask_ref: [B, n_row_tiles, n_col_tiles] int32, the WHOLE skip mask as
+              a scalar-prefetch operand in SMEM (a per-block (1,1,1)
+              BlockSpec only lowers when the grid is a single tile —
+              Mosaic requires SMEM blocks to equal the array dims);
+              0 skips the block (bbox cutoff)
     rows_ref: [1, F, TR] row feats (transposed, indexed by i)
     cols_ref: [1, F, TC] col feats (same array, indexed by j)
     u_ref:    [1, TC, K] col u block (indexed by j)
     out_ref:  [1, K, TR] out^T row block (indexed by i, revisited over j)
     """
-    j = pl.program_id(2)
+    bi, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when(j == 0)
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    @pl.when(mask_ref[0, 0, 0] > 0)
+    @pl.when(mask_ref[bi, i, j] > 0)
     def _():
         rows = rows_ref[0]  # [F, TR] f32
         cols = cols_ref[0]  # [F, TC] f32
@@ -163,19 +167,16 @@ def affinity_matvec_pallas(
 
     out_t = pl.pallas_call(
         _kernel,
-        grid=(b, n_pad // tr, n_pad // tc),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1), lambda bi, i, j: (bi, i, j),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, f, tr), lambda bi, i, j: (bi, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f, tc), lambda bi, i, j: (bi, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tc, k), lambda bi, i, j: (bi, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, k, tr), lambda bi, i, j: (bi, 0, i),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # the mask rides SMEM whole
+            grid=(b, n_pad // tr, n_pad // tc),
+            in_specs=[
+                pl.BlockSpec((1, f, tr), lambda bi, i, j, m: (bi, 0, i)),
+                pl.BlockSpec((1, f, tc), lambda bi, i, j, m: (bi, 0, j)),
+                pl.BlockSpec((1, tc, k), lambda bi, i, j, m: (bi, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, k, tr), lambda bi, i, j, m: (bi, 0, i)),
+        ),
         out_shape=jax.ShapeDtypeStruct((b, k, n_pad), jnp.float32),
         interpret=interpret,
     )(mask, feat_t, feat_t, u)
