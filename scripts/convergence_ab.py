@@ -40,15 +40,25 @@ CONFIGS = {
 }
 
 
-def run_one(name: str, seed: int, epochs: int) -> float:
+def run_one(name: str, seed: int, epochs: int,
+            data_seed: int | None = 0) -> float:
     family, dtype, fast, static = CONFIGS[name]
     sys.path.insert(0, REPO)
     from weaksuppointcloudseg_tpu.utils import synth_convergence as sc
 
     if family == "shapenet":
+        # data_seed pinned (default 0, a verified-learnable draw): config
+        # A/Bs vary only training stochasticity, so the paired differences
+        # measure kernel effects, not dataset difficulty (the round-4
+        # coupled-seed band was dominated by seeds 3-4 drawing sets where
+        # every config half-converged; docs/kernels.md round 5). Pass
+        # --data-seed -1 to reproduce the coupled legacy behavior.
         miou = sc.shapenet_train_and_eval_miou(
-            dtype, fast, seed=seed, epochs=epochs, static_graph=static)
+            dtype, fast, seed=seed, epochs=epochs, static_graph=static,
+            data_seed=data_seed)
     else:
+        # the S3DIS recipe always used a fixed synthetic set (seed=0 in
+        # write_synthetic) — already decoupled, hence its 7x tighter band
         miou, _acc = sc.s3dis_train_and_eval_miou(
             dtype, fast, seed=seed, epochs=epochs, static_graph=static)
     print(f"RESULT {name} seed={seed} miou={miou:.4f}", flush=True)
@@ -62,19 +72,25 @@ def main() -> None:
     p.add_argument("--configs", nargs="*", default=list(CONFIGS),
                    choices=list(CONFIGS))
     p.add_argument("--out", default="/tmp/convergence_ab.json")
+    p.add_argument("--data-seed", type=int, default=0,
+                   help="ShapeNet dataset draw (-1: couple to the training "
+                        "seed, the pre-round-5 behavior)")
     p.add_argument("--one", nargs=2, metavar=("CONFIG", "SEED"),
                    help="internal: run a single case in-process")
     args = p.parse_args()
+    data_seed = None if args.data_seed < 0 else args.data_seed
 
     if args.one:
-        run_one(args.one[0], int(args.one[1]), args.epochs)
+        run_one(args.one[0], int(args.one[1]), args.epochs, data_seed)
         return
 
     results: dict = {c: {} for c in args.configs}
     for name in args.configs:
         for seed in range(args.seeds):
             cmd = [sys.executable, os.path.abspath(__file__),
-                   "--epochs", str(args.epochs), "--one", name, str(seed)]
+                   "--epochs", str(args.epochs),
+                   "--data-seed", str(args.data_seed),
+                   "--one", name, str(seed)]
             try:
                 r = subprocess.run(cmd, capture_output=True, text=True,
                                    timeout=1800, env=dict(os.environ))
