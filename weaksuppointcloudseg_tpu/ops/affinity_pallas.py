@@ -40,7 +40,10 @@ making the apply near-linear in N for surface-sampled scans.
 Padding contract: the caller pads N with points at huge coordinates
 (sq ~ 1e12 -> exp underflows to exactly 0) and u with zeros, so padded
 rows/cols neither receive nor donate mass — same trick as
-S3DISTrainer.room_label_prop's 1 km pad blocks. Tiles containing pad
+S3DISTrainer.room_label_prop's just-outside-the-room pad blocks (the
+kernel's own pads can sit at huge coordinates because they are added
+AFTER the caller's centering; caller-side pads must stay near the real
+cloud — see room_label_prop). Tiles containing pad
 points get huge bounding boxes; their blocks against REAL tiles have
 d_lb > cutoff and skip, while all-pad tile pairs compute harmless zeros.
 """

@@ -217,7 +217,11 @@ def label_propagation_matfree(
 
     # distances are translation-invariant; centering shrinks |x|^2 and
     # with it the f32 cancellation error of the Gram trick (room-scale
-    # coords x bandwidth 1e3 sit right at f32's edge)
+    # coords x bandwidth 1e3 sit right at f32's edge). Caller contract:
+    # any caller-side pad points must sit NEAR the real cloud (e.g.
+    # room_label_prop pads 2 m outside the room) — far-flung pads drag
+    # the mean away from the real points and reintroduce exactly the
+    # cancellation error the centering removes.
     feat = jnp.concatenate(
         [xyz * jnp.sqrt(jnp.float32(xyz_bandwidth)),
          rgb * jnp.sqrt(jnp.float32(rgb_bandwidth))], axis=-1)  # [B,N,6]

@@ -525,9 +525,16 @@ class S3DISTrainer(_TrainerBase):
         coordinates (block channels 6:9 x ``room_max``) and solves one
         matrix-free-CG propagation over it, so label mass flows across
         block boundaries. Blocks are padded to a multiple of 8 so rooms of
-        similar size share one compiled CG program; pad points sit 1 km
-        away, where exp(-1e3 d^2) affinity underflows to exactly 0 — they
-        neither receive nor donate label mass.
+        similar size share one compiled CG program; pad points sit 2 m
+        beyond the room extent on every axis, where exp(-1e3 d^2 >= 4e3)
+        affinity underflows to exactly 0 — they neither receive nor donate
+        label mass. The offset is deliberately SMALL: the matfree solver
+        centers the feature cloud before its Gram (label_prop.py), so
+        far-flung pads (the old 1 km placement) would drag the mean ~1e4
+        feature units from the real points and the f32 cancellation error
+        on d^2 would reach O(10) — enough to corrupt exp(-d^2) affinities
+        (caught by test_room_lp_matches_dense_oracle at 0.86 argmax
+        agreement vs the uncentered dense oracle).
 
         Args:
           blocks: [K, N, 9] room blocks (room_to_blocks layout).
@@ -545,8 +552,9 @@ class S3DISTrainer(_TrainerBase):
         prob = prob.astype(np.float32)
         if k_pad > k_blocks:
             extra = k_pad - k_blocks
+            pad_xyz = (np.asarray(room_max, np.float32) + 2.0).reshape(1, 1, 3)
             xyz = np.concatenate(
-                [xyz, np.full((extra, n, 3), 1e3, np.float32)])
+                [xyz, np.broadcast_to(pad_xyz, (extra, n, 3)).copy()])
             rgb = np.concatenate([rgb, np.zeros((extra, n, 3), np.float32)])
             prob = np.concatenate(
                 [prob, np.full((extra, n, c), 1.0 / c, np.float32)])
