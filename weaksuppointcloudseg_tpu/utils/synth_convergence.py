@@ -26,11 +26,17 @@ import numpy as np
 import jax
 
 
-def learnable_shapenet(rng, n_samples, n_points, n_cat=4, parts_per=3):
+def learnable_shapenet(rng, n_samples, n_points, n_cat=4, parts_per=3,
+                       centers=None):
     """In-memory learnable synthetic part-seg set (z-split part labels
-    within per-category Gaussian clusters)."""
+    within per-category Gaussian clusters).
+
+    ``centers``: reuse existing category cluster centers (a continuation
+    draw from the same rng stays in-distribution with the first draw —
+    a fresh call would place categories at new locations)."""
     xs, segs, cats = [], [], []
-    centers = rng.standard_normal((n_cat, 3)) * 2.0
+    if centers is None:
+        centers = rng.standard_normal((n_cat, 3)) * 2.0
     for _ in range(n_samples):
         c = int(rng.integers(0, n_cat))
         pts = centers[c] + rng.standard_normal((n_points, 3)) * 0.5
@@ -40,7 +46,7 @@ def learnable_shapenet(rng, n_samples, n_points, n_cat=4, parts_per=3):
         xs.append(pts.astype(np.float32))
         segs.append((c * parts_per + part).astype(np.int32))
         cats.append(c)
-    return np.stack(xs), np.stack(segs), np.asarray(cats, np.int32)
+    return np.stack(xs), np.stack(segs), np.asarray(cats, np.int32), centers
 
 
 def shapenet_train_and_eval_miou(compute_dtype, knn_fast, *, seed=0,
@@ -85,7 +91,7 @@ def shapenet_train_and_eval_miou(compute_dtype, knn_fast, *, seed=0,
     # at entirely different locations — out-of-distribution for a model
     # fed absolute xyz (this exact bug made every eval here ~chance).
     data_rng = rng if data_seed is None else np.random.default_rng(data_seed)
-    xs_all, segs_all, cats_all = learnable_shapenet(
+    xs_all, segs_all, cats_all, centers = learnable_shapenet(
         data_rng, 64, n_points, n_cat, parts_per)
     xs, segs, cats = xs_all[:48], segs_all[:48], cats_all[:48]
     vx, vseg, vcat = xs_all[48:], segs_all[48:], cats_all[48:]
@@ -114,6 +120,20 @@ def shapenet_train_and_eval_miou(compute_dtype, knn_fast, *, seed=0,
             key, sub = jax.random.split(key)
             state, metrics = step(state, batch, gate, sub)
     float(metrics["total"])  # sync (scalar fetch — CLAUDE.md gotchas)
+
+    # Extended val set (round 5): drawn AFTER training so both the
+    # 64-sample base draw (hence the 48-sample TRAIN split) and the
+    # training rng stream stay bit-identical to earlier rounds in either
+    # data_seed mode; the draw continues around the SAME category centers
+    # so it is in-distribution. 16 -> 96 val shapes cuts the eval-side
+    # standard error ~2.4x — the round-5 first-pass 5-seed fast-vs-parity
+    # band was dominated by 16-shape eval noise, not trajectory
+    # divergence (docs/kernels.md round 5).
+    exs, esegs, ecats, _ = learnable_shapenet(
+        data_rng, 80, n_points, n_cat, parts_per, centers=centers)
+    vx = np.concatenate([vx, exs])
+    vseg = np.concatenate([vseg, esegs])
+    vcat = np.concatenate([vcat, ecats])
 
     ious = []
     for lo in range(0, len(vx), bs):
