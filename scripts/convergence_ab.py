@@ -41,7 +41,7 @@ CONFIGS = {
 
 
 def run_one(name: str, seed: int, epochs: int,
-            data_seed: int | None = 0) -> float:
+            data_seed: int | None = 0, eval_tail: int = 1) -> float:
     family, dtype, fast, static = CONFIGS[name]
     sys.path.insert(0, REPO)
     from weaksuppointcloudseg_tpu.utils import synth_convergence as sc
@@ -55,7 +55,7 @@ def run_one(name: str, seed: int, epochs: int,
         # --data-seed -1 to reproduce the coupled legacy behavior.
         miou = sc.shapenet_train_and_eval_miou(
             dtype, fast, seed=seed, epochs=epochs, static_graph=static,
-            data_seed=data_seed)
+            data_seed=data_seed, eval_tail=eval_tail)
     else:
         # the S3DIS recipe always used a fixed synthetic set (seed=0 in
         # write_synthetic) — already decoupled, hence its 7x tighter band
@@ -75,13 +75,18 @@ def main() -> None:
     p.add_argument("--data-seed", type=int, default=0,
                    help="ShapeNet dataset draw (-1: couple to the training "
                         "seed, the pre-round-5 behavior)")
+    p.add_argument("--eval-tail", type=int, default=1,
+                   help="average ShapeNet val mIoU over the final K "
+                        "epochs (K>1 kills final-checkpoint plateau "
+                        "jitter; requires a pinned --data-seed)")
     p.add_argument("--one", nargs=2, metavar=("CONFIG", "SEED"),
                    help="internal: run a single case in-process")
     args = p.parse_args()
     data_seed = None if args.data_seed < 0 else args.data_seed
 
     if args.one:
-        run_one(args.one[0], int(args.one[1]), args.epochs, data_seed)
+        run_one(args.one[0], int(args.one[1]), args.epochs, data_seed,
+                args.eval_tail)
         return
 
     results: dict = {c: {} for c in args.configs}
@@ -90,6 +95,7 @@ def main() -> None:
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--epochs", str(args.epochs),
                    "--data-seed", str(args.data_seed),
+                   "--eval-tail", str(args.eval_tail),
                    "--one", name, str(seed)]
             try:
                 r = subprocess.run(cmd, capture_output=True, text=True,

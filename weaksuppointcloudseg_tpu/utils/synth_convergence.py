@@ -51,7 +51,7 @@ def learnable_shapenet(rng, n_samples, n_points, n_cat=4, parts_per=3,
 
 def shapenet_train_and_eval_miou(compute_dtype, knn_fast, *, seed=0,
                                  epochs=24, static_graph=False,
-                                 data_seed=None):
+                                 data_seed=None, eval_tail=1):
     """Seeded ShapeNet-style end-to-end training run -> final val
     per-shape mIoU.
 
@@ -64,7 +64,16 @@ def shapenet_train_and_eval_miou(compute_dtype, knn_fast, *, seed=0,
     the variance on the data axis). Config A/Bs (scripts/convergence_ab.py)
     now pin ``data_seed=0`` (a verified-learnable draw) and vary only
     ``seed``, so the paired fast-vs-parity differences measure kernel
-    effects rather than draw difficulty."""
+    effects rather than draw difficulty.
+
+    ``eval_tail``: average the val mIoU over the final ``eval_tail``
+    epochs instead of evaluating only the last checkpoint. With the draw
+    pinned, single-run spread is dominated by WHERE on the noisy
+    converged plateau the final epoch happens to land; averaging the
+    plateau tail measures the plateau itself (round-5 calibration data
+    in docs/kernels.md). Requires ``data_seed`` (the val extension must
+    be drawn before training, which in coupled mode would perturb the
+    training rng stream)."""
     from weaksuppointcloudseg_tpu import configs
     from weaksuppointcloudseg_tpu.metrics.iou import eval_iou
     from weaksuppointcloudseg_tpu.train.state import create_train_state
@@ -96,12 +105,59 @@ def shapenet_train_and_eval_miou(compute_dtype, knn_fast, *, seed=0,
     xs, segs, cats = xs_all[:48], segs_all[:48], cats_all[:48]
     vx, vseg, vcat = xs_all[48:], segs_all[48:], cats_all[48:]
 
+    if eval_tail > 1 and data_seed is None:
+        raise ValueError("eval_tail > 1 requires data_seed (decoupled "
+                         "draw): the val extension must be drawn before "
+                         "training starts")
+
+    def extend_val():
+        # Extended val set (round 5): drawn AFTER training (tail=1) so
+        # both the 64-sample base draw (hence the 48-sample TRAIN split)
+        # and the training rng stream stay bit-identical to earlier
+        # rounds in either data_seed mode; the draw continues around the
+        # SAME category centers so it is in-distribution. 16 -> 96 val
+        # shapes cuts the eval-side standard error ~2.4x; the measured
+        # cross-seed spread barely moved (same runs, both val sets:
+        # fast sd 0.0375 -> 0.0361), locating the residual variance on
+        # the TRAJECTORY axis — hence eval_tail (docs/kernels.md round
+        # 5 "reconditioned convergence recipe"). With eval_tail > 1 the
+        # extension is
+        # drawn up front instead — safe because data_seed decouples
+        # data_rng from the training stream, and the data_rng call
+        # sequence (64 then 80) is unchanged.
+        exs, esegs, ecats, _ = learnable_shapenet(
+            data_rng, 80, n_points, n_cat, parts_per, centers=centers)
+        return (np.concatenate([vx, exs]), np.concatenate([vseg, esegs]),
+                np.concatenate([vcat, ecats]))
+
+    if eval_tail > 1:
+        vx, vseg, vcat = extend_val()
+
     state = create_train_state(jax.random.PRNGKey(seed), cfg)
     step = make_train_step(cfg)
     eval_step = make_eval_step(cfg)
+
+    def eval_miou(state):
+        ious = []
+        for lo in range(0, len(vx), bs):
+            vb = {
+                "data": vx[lo:lo + bs],
+                "seg_onehot": onehot_encode(vseg[lo:lo + bs], n_cls),
+                "mask": np.ones(vseg[lo:lo + bs].shape, np.float32),
+                "cat_onehot": onehot_encode(vcat[lo:lo + bs], n_cat),
+            }
+            prob, _ = eval_step(state, jax.device_put(vb))
+            pred = np.argmax(np.asarray(prob), -1)
+            for i in range(pred.shape[0]):
+                oids = list(range(vcat[lo + i] * parts_per,
+                                  (vcat[lo + i] + 1) * parts_per))
+                ious.append(eval_iou(pred[i], vseg[lo + i], oids))
+        return float(np.mean(ious))
+
     key = jax.random.PRNGKey(seed + 1)
     gate = np.float32(1.0)
-    for _ep in range(epochs):
+    tail_mious = []
+    for ep in range(epochs):
         order = rng.permutation(len(xs))
         for lo in range(0, len(xs) - bs + 1, bs):
             sel = order[lo:lo + bs]
@@ -119,37 +175,14 @@ def shapenet_train_and_eval_miou(compute_dtype, knn_fast, *, seed=0,
             })
             key, sub = jax.random.split(key)
             state, metrics = step(state, batch, gate, sub)
+        if eval_tail > 1 and ep >= epochs - eval_tail:
+            tail_mious.append(eval_miou(state))
     float(metrics["total"])  # sync (scalar fetch — CLAUDE.md gotchas)
 
-    # Extended val set (round 5): drawn AFTER training so both the
-    # 64-sample base draw (hence the 48-sample TRAIN split) and the
-    # training rng stream stay bit-identical to earlier rounds in either
-    # data_seed mode; the draw continues around the SAME category centers
-    # so it is in-distribution. 16 -> 96 val shapes cuts the eval-side
-    # standard error ~2.4x — the round-5 first-pass 5-seed fast-vs-parity
-    # band was dominated by 16-shape eval noise, not trajectory
-    # divergence (docs/kernels.md round 5).
-    exs, esegs, ecats, _ = learnable_shapenet(
-        data_rng, 80, n_points, n_cat, parts_per, centers=centers)
-    vx = np.concatenate([vx, exs])
-    vseg = np.concatenate([vseg, esegs])
-    vcat = np.concatenate([vcat, ecats])
-
-    ious = []
-    for lo in range(0, len(vx), bs):
-        vb = {
-            "data": vx[lo:lo + bs],
-            "seg_onehot": onehot_encode(vseg[lo:lo + bs], n_cls),
-            "mask": np.ones(vseg[lo:lo + bs].shape, np.float32),
-            "cat_onehot": onehot_encode(vcat[lo:lo + bs], n_cat),
-        }
-        prob, _ = eval_step(state, jax.device_put(vb))
-        pred = np.argmax(np.asarray(prob), -1)
-        for i in range(pred.shape[0]):
-            oids = list(range(vcat[lo + i] * parts_per,
-                              (vcat[lo + i] + 1) * parts_per))
-            ious.append(eval_iou(pred[i], vseg[lo + i], oids))
-    return float(np.mean(ious))
+    if eval_tail > 1:
+        return float(np.mean(tail_mious))
+    vx, vseg, vcat = extend_val()
+    return eval_miou(state)
 
 
 def s3dis_train_and_eval_miou(compute_dtype, knn_fast, *, seed=0,
