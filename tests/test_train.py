@@ -354,3 +354,27 @@ def test_make_eval_logits_fn_single_composition():
     xs = rng.standard_normal((2, 50, 9)).astype(np.float32)
     ls = jax.jit(make_eval_logits_fn(s_cfg))(s_state, xs)  # S3DIS call shape
     assert np.asarray(ls).shape == (2, 50, s_cfg.model.num_classes)
+
+
+def test_convergence_recipe_eval_tail_smoke():
+    """CPU smoke for the round-5 convergence-recipe knobs
+    (utils/synth_convergence.py): the decoupled draw + tail-averaged
+    eval path runs end-to-end at a tiny shape, and the coupled-mode
+    misuse (eval_tail without data_seed) raises instead of silently
+    perturbing the training rng stream. The calibrated 1024-pt recipe
+    itself is exercised on device (test_tpu_kernels.py) and by
+    scripts/convergence_ab.py."""
+    import pytest
+
+    from weaksuppointcloudseg_tpu.utils.synth_convergence import (
+        shapenet_train_and_eval_miou,
+    )
+
+    m = shapenet_train_and_eval_miou(
+        "float32", False, seed=0, epochs=2, data_seed=0, eval_tail=2,
+        n_points=128, bs=4)
+    assert 0.0 <= m <= 1.0
+    with pytest.raises(ValueError, match="data_seed"):
+        shapenet_train_and_eval_miou(
+            "float32", False, seed=0, epochs=2, eval_tail=2,
+            n_points=128, bs=4)

@@ -51,7 +51,8 @@ def learnable_shapenet(rng, n_samples, n_points, n_cat=4, parts_per=3,
 
 def shapenet_train_and_eval_miou(compute_dtype, knn_fast, *, seed=0,
                                  epochs=24, static_graph=False,
-                                 data_seed=None, eval_tail=1):
+                                 data_seed=None, eval_tail=1,
+                                 n_points=1024, bs=8):
     """Seeded ShapeNet-style end-to-end training run -> final val
     per-shape mIoU.
 
@@ -83,7 +84,8 @@ def shapenet_train_and_eval_miou(compute_dtype, knn_fast, *, seed=0,
     )
     from weaksuppointcloudseg_tpu.utils.tools import onehot_encode
 
-    n_cat, parts_per, n_points, bs = 4, 3, 1024, 8
+    n_cat, parts_per = 4, 3  # n_points/bs: kwargs (1024/8 = calibrated
+    # recipe; smaller values are for fast CPU smoke tests only)
     n_cls = n_cat * parts_per
     cfg = configs.shapenet_config()
     cfg = dataclasses.replace(
