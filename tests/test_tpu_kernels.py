@@ -918,14 +918,16 @@ def test_knn_edge_pre_matches_selecting_on_device(data):
 def test_static_graph_convergence_on_device():
     """Seeded accuracy evidence for the opt-in static-graph turbo mode
     (ModelConfig.static_graph): bf16 + fast + static graph must LEARN on
-    the learnable synthetic set. Round-4 A/B over seeds 0-4
-    (docs/kernels.md "Round 4"): paired static-dynamic mIoU difference
-    +0.004 +- 0.051 sd — statistically indistinguishable on synthetic.
-    It stays opt-in anyway: dynamic feature-space graphs are the
-    reference's semantics (DGCNN's defining design, and its real-data
-    ablation favors them), which a synthetic A/B cannot arbitrate.
-    Step time 96.7 -> 89.3 ms on the v5e flagship."""
-    miou = _train_and_eval_miou("bfloat16", True, static_graph=True)
+    the learnable synthetic set (round-5 reconditioned recipe: pinned
+    data_seed=0 draw, 96-shape val). Round-5 decoupled A/B over seeds
+    0-4 (docs/kernels.md round 5): static 0.703 +- 0.071, static-fast
+    difference +0.015 +- 0.044 — statistically indistinguishable on
+    synthetic. It stays opt-in anyway: dynamic feature-space graphs are
+    the reference's semantics (DGCNN's defining design, and its
+    real-data ablation favors them), which a synthetic A/B cannot
+    arbitrate. Step time 96.7 -> 89.3 ms on the v5e flagship."""
+    miou = _train_and_eval_miou("bfloat16", True, static_graph=True,
+                                data_seed=0)
     assert miou > 0.5, f"static-graph config failed to learn: {miou}"
 
 
