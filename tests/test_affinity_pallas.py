@@ -116,3 +116,59 @@ def test_morton_order_is_permutation_and_local(rng):
         rnd = np.linalg.norm(
             pts[b][rng.permutation(512)] - pts[b], axis=1).mean()
         assert adj < rnd * 0.4, (adj, rnd)
+
+
+def test_transposed_io_matches_straight_kernel(rng):
+    """affinity_matvec_pallas_t (the CG-native transposed-IO variant —
+    propagate/label_prop.py runs the whole fused CG in [B, K, N] space)
+    must equal the straight kernel modulo the two transposes, with and
+    without tile skipping."""
+    import jax.numpy as jnp
+
+    from weaksuppointcloudseg_tpu.ops.affinity_pallas import (
+        affinity_matvec_pallas_t,
+    )
+
+    feat = rng.uniform(0, 2, (2, 256, 6)).astype(np.float32)
+    u = rng.standard_normal((2, 256, 13)).astype(np.float32)
+    ref = np.asarray(affinity_matvec_pallas(
+        feat, u, row_tile=64, col_tile=64, interpret=True))
+    for cutoff in (30.0, None):
+        got_t = affinity_matvec_pallas_t(
+            jnp.swapaxes(jnp.asarray(feat), 1, 2),
+            jnp.swapaxes(jnp.asarray(u), 1, 2),
+            row_tile=64, col_tile=64, skip_cutoff=cutoff, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(jnp.swapaxes(got_t, 1, 2)), ref, rtol=1e-6,
+            atol=1e-6 * max(1.0, np.abs(ref).max()))
+    # unpadded N is a contract violation, not silent corruption
+    with pytest.raises(ValueError, match="multiple"):
+        affinity_matvec_pallas_t(
+            jnp.zeros((1, 6, 100)), jnp.zeros((1, 3, 100)),
+            row_tile=64, col_tile=64, interpret=True)
+
+
+def test_transposed_pad_lanes_stay_zero(rng):
+    """The fused-CG pad contract: far-coordinate pad lanes neither
+    receive nor donate mass through the transposed kernel."""
+    import jax.numpy as jnp
+
+    from weaksuppointcloudseg_tpu.ops.affinity_pallas import (
+        affinity_matvec_pallas_t,
+    )
+
+    n, n_pad = 100, 128
+    feat = rng.uniform(0, 2, (1, n, 6)).astype(np.float32)
+    u = rng.standard_normal((1, n, 5)).astype(np.float32)
+    feat_t = np.full((1, 6, n_pad), 1e6, np.float32)
+    feat_t[0, :, :n] = feat[0].T
+    ut = np.zeros((1, 5, n_pad), np.float32)
+    ut[0, :, :n] = u[0].T
+    out_t = np.asarray(affinity_matvec_pallas_t(
+        jnp.asarray(feat_t), jnp.asarray(ut), row_tile=64, col_tile=64,
+        interpret=True))
+    want = oracle(feat, u)
+    rel = np.abs(out_t[0, :, :n].T - want[0]).max() / max(
+        1.0, np.abs(want).max())
+    assert rel < 1e-5, rel
+    assert np.all(out_t[0, :, n:] == 0.0)

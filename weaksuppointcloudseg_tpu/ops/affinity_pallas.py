@@ -186,6 +186,106 @@ def affinity_matvec_pallas(
     return jnp.swapaxes(out_t, 1, 2)[:, :n]
 
 
+def _kernel_t(mask_ref, rows_ref, cols_ref, ut_ref, out_ref):
+    """Transposed-IO sibling of ``_kernel``: the u operand arrives as
+    out^T-layout blocks [1, K, TC] (K on sublanes, TC on lanes) instead
+    of [1, TC, K] (K on LANES — 13 of 128 used on every DMA/VREG op).
+    Round-5 measurement (docs/kernels.md "room-LP, transposed CG"): the
+    straight kernel runs 30 ms/apply when its u operand is the raw loop
+    carry but 50 ms when u is any freshly-computed temporary (every CG
+    iteration computes u = s*p) — the [N, K] layout is the difference;
+    keeping the whole CG in [B, K, N] space removes it."""
+    bi, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    @pl.when(mask_ref[bi, i, j] > 0)
+    def _():
+        rows = rows_ref[0]  # [F, TR] f32
+        cols = cols_ref[0]  # [F, TC] f32
+        ut = ut_ref[0]      # [K, TC] f32
+        inner_t = jax.lax.dot_general(
+            cols, rows, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [TC, TR]
+        rsq = jnp.sum(rows * rows, axis=0)[None, :]
+        csq = jnp.sum(cols * cols, axis=0)[:, None]
+        w_t = jnp.exp(-jnp.maximum(csq - 2.0 * inner_t + rsq, 0.0))
+        contrib = jax.lax.dot_general(
+            ut, w_t, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [K, TR]
+        out_ref[0] += contrib
+
+
+def _skip_mask_t(feat_t: jax.Array, tr: int, tc: int,
+                 cutoff: float) -> jax.Array:
+    """_skip_mask on transposed features [B, F, N] (bbox over the N axis
+    directly — no transpose materialization)."""
+    b, f, n = feat_t.shape
+    rr = feat_t.reshape(b, f, n // tr, tr)
+    cc = feat_t.reshape(b, f, n // tc, tc)
+    rmin, rmax = jnp.min(rr, axis=3), jnp.max(rr, axis=3)  # [B, F, ni]
+    cmin, cmax = jnp.min(cc, axis=3), jnp.max(cc, axis=3)
+    gap = jnp.maximum(rmin[:, :, :, None] - cmax[:, :, None, :],
+                      cmin[:, :, None, :] - rmax[:, :, :, None])
+    d_lb = jnp.sum(jnp.square(jnp.maximum(gap, 0.0)), axis=1)  # [B, ni, nj]
+    return (d_lb <= cutoff).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("row_tile", "col_tile", "skip_cutoff", "interpret"))
+def affinity_matvec_pallas_t(
+    feat_t: jax.Array,  # [B, F, N] pre-scaled features, TRANSPOSED, f32
+    ut: jax.Array,      # [B, K, N] f32, TRANSPOSED
+    *,
+    row_tile: int = 512,
+    col_tile: int = 512,
+    skip_cutoff: float = 30.0,
+    interpret: bool = False,
+) -> jax.Array:
+    """out^T [B, K, N] = (exp(-clamped pdist2(feat)) @ u)^T, all IO in the
+    kernel's native transposed layout. Semantically identical to
+    ``affinity_matvec_pallas`` modulo the two transposes; use this from
+    iterative solvers that can keep their state in [B, K, N] space
+    (propagate/label_prop.py::label_propagation_matfree does) — it is
+    ~1.7x faster per apply inside loops whose u is computed per
+    iteration (see _kernel_t docstring). N must already be padded to a
+    multiple of both tiles (far-coordinate pad rule as the caller
+    contract in the module docstring)."""
+    b, f, n = feat_t.shape
+    k = ut.shape[1]
+    tr, tc = row_tile, col_tile
+    if n % tr or n % tc:
+        raise ValueError(f"N={n} must be a multiple of both tiles "
+                         f"({tr}, {tc}); pre-pad with far-away points")
+    feat_t = feat_t.astype(jnp.float32)
+    if skip_cutoff is None:
+        mask = jnp.ones((b, n // tr, n // tc), jnp.int32)
+    else:
+        mask = _skip_mask_t(feat_t, tr, tc, float(skip_cutoff))
+    return pl.pallas_call(
+        _kernel_t,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, n // tr, n // tc),
+            in_specs=[
+                pl.BlockSpec((1, f, tr), lambda bi, i, j, m: (bi, 0, i)),
+                pl.BlockSpec((1, f, tc), lambda bi, i, j, m: (bi, 0, j)),
+                pl.BlockSpec((1, k, tc), lambda bi, i, j, m: (bi, 0, j)),
+            ],
+            out_specs=pl.BlockSpec((1, k, tr), lambda bi, i, j, m: (bi, 0, i)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, k, n), jnp.float32),
+        interpret=interpret,
+    )(mask, feat_t, feat_t, ut.astype(jnp.float32))
+
+
 def morton_order(xyz: jax.Array, bits: int = 10) -> jax.Array:
     """Z-order (morton) sort permutation of [B, N, 3] points: [B, N] int32.
 

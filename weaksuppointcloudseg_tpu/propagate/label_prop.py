@@ -195,25 +195,17 @@ def label_propagation_matfree(
       straightforward W_rows @ u orientation puts K=num_classes+1 (~14)
       on the MXU lane axis — 89% padding waste at 128 lanes; transposed,
       K sits on the sublane axis (pads 14->16) and the lane axis is N.
+    - on TPU the ENTIRE CG runs in that transposed [B, K, N] space
+      (state, vector ops, kernel IO — affinity_matvec_pallas_t): with
+      [B, N, K] state every iteration's freshly-computed kernel operand
+      u = s*p costs the kernel ~1.7x (measured; see the fused branch
+      comment), and the per-iteration swapaxes pair disappears.
     """
     from weaksuppointcloudseg_tpu.ops import affinity_pallas
 
     b, n, _ = xyz.shape
     t = _largest_divisor_at_most(n, row_tile)
     n_tiles = n // t
-
-    use_fused = affinity_pallas.supported()
-    order = inv_order = None
-    if use_fused:
-        # morton-sort so spatially-near points share kernel tiles: the
-        # fused kernel skips (row-tile, col-tile) blocks whose bounding
-        # boxes are farther than its cutoff — exact bound, so the sort
-        # affects only skip EFFICIENCY, never the result. The whole CG
-        # runs in sorted space; y is unsorted at the end.
-        order = affinity_pallas.morton_order(xyz)  # [B, N]
-        inv_order = jnp.argsort(order, axis=1)
-        take = lambda a: jnp.take_along_axis(a, order[..., None], axis=1)
-        xyz, rgb, g = take(xyz), take(rgb), take(g)
 
     # distances are translation-invariant; centering shrinks |x|^2 and
     # with it the f32 cancellation error of the Gram trick (room-scale
@@ -226,6 +218,74 @@ def label_propagation_matfree(
         [xyz * jnp.sqrt(jnp.float32(xyz_bandwidth)),
          rgb * jnp.sqrt(jnp.float32(rgb_bandwidth))], axis=-1)  # [B,N,6]
     feat = feat - jnp.mean(feat, axis=1, keepdims=True)
+
+    use_fused = affinity_pallas.supported()
+    order = inv_order = None
+    if use_fused:
+        # morton-sort so spatially-near points share kernel tiles: the
+        # fused kernel skips (row-tile, col-tile) blocks whose bounding
+        # boxes are farther than its cutoff — exact bound, so the sort
+        # affects only skip EFFICIENCY, never the result. The whole CG
+        # runs in sorted space; y is unsorted at the end. Sorting the
+        # pre-built feat (not xyz/rgb separately) saves one full-cloud
+        # gather pass; centering commutes with the permutation.
+        order = affinity_pallas.morton_order(xyz)  # [B, N]
+        inv_order = jnp.argsort(order, axis=1)
+        take = lambda a: jnp.take_along_axis(a, order[..., None], axis=1)
+        feat, g = take(feat), take(g)
+
+    if use_fused:
+        # The whole CG runs in the kernel's native TRANSPOSED [B, K, N]
+        # layout (ops/affinity_pallas.py::affinity_matvec_pallas_t).
+        # Measured on the 131k bench room (docs/kernels.md round 5): the
+        # straight-layout kernel costs 30 ms/apply when u is the raw
+        # loop carry but 50 ms when u is computed per iteration (CG's
+        # u = s*p) — the [N, K~13] layout puts K on the 128-lane axis of
+        # every DMA/VREG op. Transposed state also makes all CG vector
+        # ops N-on-lanes and drops the per-iteration swapaxes pair.
+        # 512x512 tiles: tighter bboxes halve the surviving Gram area vs
+        # 1024x1024 (13.9% vs 21.9% on the bench room; 256x1024 tied).
+        tr = tc = 512
+        n_pad = -(-n // tr) * tr
+        pad = n_pad - n
+        feat_t = jnp.swapaxes(feat, 1, 2)  # [B, F, N]
+        g_t = jnp.swapaxes(g, 1, 2)        # [B, K, N]
+        if pad:
+            # far-away pad points: affinity exactly 0 both ways (module
+            # docstring contract) — added AFTER centering, so they do
+            # not disturb the cancellation-error control
+            feat_t = jnp.pad(feat_t, ((0, 0), (0, 0), (0, pad)),
+                             constant_values=1e6)
+            g_t = jnp.pad(g_t, ((0, 0), (0, 0), (0, pad)))
+        mv = partial(affinity_pallas.affinity_matvec_pallas_t,
+                     row_tile=tr, col_tile=tc)
+        d = mv(feat_t, jnp.ones((b, 1, n_pad), jnp.float32))[:, 0]
+        s = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
+        w_conf = entropy_confidence(g)  # [B, N] (unpadded)
+        if pad:
+            w_conf = jnp.pad(w_conf, ((0, 0), (0, pad)))
+            # pad lanes: s=0 (no mass in or out), diag=1, rhs=0 — the CG
+            # solution there is exactly 0 and never couples to real lanes
+            lane = jnp.arange(n_pad) < n
+            s = jnp.where(lane[None, :], s, 0.0)
+        diag = alpha * (d + degree_eps) * s * s + beta * w_conf + ridge
+        if pad:
+            diag = jnp.where(lane[None, :], diag, 1.0)
+
+        def matvec_t(v):  # [B, K, n_pad]
+            return diag[:, None, :] * v - alpha * s[:, None, :] * mv(
+                feat_t, s[:, None, :] * v)
+
+        rhs_t = w_conf[:, None, :] * g_t
+        y_t, _ = jax.scipy.sparse.linalg.cg(
+            matvec_t, rhs_t, maxiter=cg_iters, tol=cg_tol,
+            M=lambda v: v / diag[:, None, :])
+        y_t = beta * y_t
+        denom = jnp.sum(y_t, axis=1, keepdims=True)
+        y_t = y_t / jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
+        y = jnp.swapaxes(y_t[:, :, :n], 1, 2)  # [B, N, K]
+        return jnp.take_along_axis(y, inv_order[..., None], axis=1)
+
     sq = jnp.sum(feat * feat, axis=-1)  # [B, N]
 
     def w_rows(i):
@@ -239,12 +299,8 @@ def label_propagation_matfree(
             rsq[..., :, None] - 2.0 * inner + sq[..., None, :], 0.0)
         return jnp.exp(-d)
 
-    def apply_w(u):  # [B, N, K] -> W @ u
-        if use_fused:
-            # Gram + exp + contract in ONE VMEM pass (ops/affinity_pallas)
-            # — the XLA tile path below materializes the [B, T, N] tile
-            # (dot operands don't fuse) twice per row tile
-            return affinity_matvec(feat, u)
+    def apply_w(u):  # [B, N, K] -> W @ u (XLA fallback: one [B, T, N]
+        # affinity tile materialized per row tile — CPU/non-TPU path)
         k = u.shape[-1]
 
         def body(i, acc):
@@ -256,11 +312,6 @@ def label_propagation_matfree(
         out_t = jax.lax.fori_loop(
             0, n_tiles, body, jnp.zeros((b, k, n), jnp.float32))
         return jnp.swapaxes(out_t, 1, 2)
-
-    if use_fused:
-        # the kernel pads N internally (far-away points, affinity 0)
-        affinity_matvec = partial(affinity_pallas.affinity_matvec_pallas,
-                                  row_tile=1024, col_tile=1024)
 
     d = apply_w(jnp.ones((b, n, 1), xyz.dtype))[..., 0]  # degrees [B, N]
     s = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
