@@ -365,8 +365,19 @@ def main() -> None:
                 ("cg_matfree", 3000, "lp_cg_matfree_3000"),
                 ("cg_matfree", 32768, "lp_cg_matfree_32768")):
             try:
+                extra_lp = {}
+                if solver == "cg_matfree":
+                    # near-uniform softmax(randn) input: CG's documented
+                    # worst case (~25 iters vs <=10 trained-like;
+                    # docs/kernels.md round 5). Round-4 values for these
+                    # metrics predate the affinity-precision fix — they
+                    # solved on a noise W at DEFAULT matmul precision —
+                    # so r4 -> r5 deltas here are not like-for-like.
+                    extra_lp["note"] = ("worst-case near-uniform input; "
+                                        "pre-r5 values used a noise W "
+                                        "(affinity precision bug)")
                 emit(name, time_lp(solver, lp_n), "ms/sample",
-                     n_points=lp_n, solver=solver)
+                     n_points=lp_n, solver=solver, **extra_lp)
             except Exception:
                 traceback.print_exc(file=sys.stderr)
 
